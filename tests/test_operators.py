@@ -1,0 +1,143 @@
+"""Single-operator unit tests against hand-computed outputs (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from angola_erp_ocr_spark.functions.normalize import (
+    CASH_RE,
+    DATE_RE,
+    iban_regroup_col,
+    normalize_col,
+    normalize_py,
+    tokenize_col,
+)
+from angola_erp_ocr_spark.glyph import decode_page, encode_page
+from angola_erp_ocr_spark.operators import layout
+from angola_erp_ocr_spark.operators.ocr import assemble_lines, ocr_words, readable_words
+
+
+def test_normalize_parity_python_vs_spark(spark):
+    samples = [
+        "IBAN AOOE.0040.0000",
+        "TOTAL 1.2q4,56 AKRZ",
+        "DATA 2O23/05/17",
+        "REF 3s8 1l1",
+        "15 DE MAIO DE 2023",
+        "plain text stays",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = [r[0] for r in df.select(normalize_col(F.col("t"))).collect()]
+    assert got == [normalize_py(s) for s in samples]
+
+
+def test_normalize_repairs():
+    assert normalize_py("AOOE.0040") == "AO06.0040"
+    assert normalize_py("2q22") == "2022"
+    assert normalize_py("1O0") == "100"
+    assert normalize_py("4 ,5") == "4,5"
+
+
+def test_iban_regroup(spark):
+    # api/util.py:1746-1757: pad 2-3 digit groups to 4
+    df = spark.createDataFrame([("AO06.40.0000.123.4567.8901.2",)], ["i"])
+    out = df.select(iban_regroup_col(F.col("i")).alias("o")).first()["o"]
+    assert out == "AO06.0040.0000.0123.4567.8901.0002"
+
+
+def test_cash_and_date_predicates(spark):
+    rows = [("total 1.234,56 akz", True), ("total 1,234.56 usd", True),
+            ("no amounts here", False)]
+    df = spark.createDataFrame(rows, ["t", "want"])
+    got = df.select((F.col("t").rlike(CASH_RE)).alias("g"), "want").collect()
+    assert all(r["g"] == r["want"] for r in got)
+    dates = [("2023/05/17", True), ("17-05-2023", True), ("23-5-17", False)]
+    df2 = spark.createDataFrame(dates, ["t", "want"])
+    got2 = df2.select((F.col("t").rlike(DATE_RE)).alias("g"), "want").collect()
+    assert all(r["g"] == r["want"] for r in got2)
+
+
+def test_tokenize(spark):
+    df = spark.createDataFrame([("a,b;; c--d",)], ["t"])
+    assert df.select(tokenize_col(F.col("t")).alias("w")).first()["w"] == [
+        "a", "b", "c", "d"]
+
+
+def test_glyph_roundtrip():
+    words = [dict(x=10, y=20, w=40, h=12, conf=88, block=0, par=0, line=3,
+                  word_idx=k, text=t) for k, t in enumerate(["olá", "mundo"])]
+    assert decode_page(encode_page(words)) == words
+
+
+def test_ocr_words_and_line_assembly(spark):
+    words = [dict(x=10 + 30 * k, y=50, w=24, h=12, conf=90, block=0, par=0,
+                  line=0, word_idx=k, text=t)
+             for k, t in enumerate(["TOTAL", "1.234,56", "AKZ"])]
+    words.append(dict(x=200, y=50, w=10, h=12, conf=5, block=0, par=0, line=0,
+                      word_idx=3, text="zz"))
+    pages = spark.createDataFrame(
+        [("page://d/0", 0, bytearray(encode_page(words)), 150)],
+        "media_ref string, page_no int, glyph_grid binary, dpi int")
+    lines = assemble_lines(readable_words(ocr_words(pages))).collect()
+    assert len(lines) == 1
+    assert lines[0]["text"] == "TOTAL 1.234,56 AKZ"  # conf-5 word gated out
+    assert (lines[0]["x"], lines[0]["y"]) == (10, 50)
+
+
+def test_reading_order(spark):
+    rows = [("d", 30, 5, "third"), ("d", 10, 9, "first"),
+            ("d", 10, 50, "second")]
+    df = spark.createDataFrame(rows, ["doc_id", "y", "x", "text"])
+    got = [r["text"] for r in layout.reading_order(df, ["doc_id"])
+           .orderBy("line_no").collect()]
+    assert got == ["first", "second", "third"]
+
+
+def test_cluster_rows_by_gap(spark):
+    # y values 10,14,18 | 60,63 | 200 → three rows (gap > 20)
+    rows = [("d", y) for y in [10, 14, 18, 60, 63, 200]]
+    df = spark.createDataFrame(rows, ["doc_id", "y"])
+    got = layout.cluster_rows_by_gap(df, ["doc_id"], "y", 20.0)
+    ids = [r["row_id"] for r in got.orderBy("y").collect()]
+    assert ids == [0, 0, 0, 1, 1, 2]
+
+
+def test_bucket_columns_fixed(spark):
+    # api/util.py:2400-2445 template ranges
+    ranges = [("ITEM", 40, 50), ("DESC", 65, 80), ("QTY", 320, 350)]
+    df = spark.createDataFrame([(45,), (70,), (330,), (500,)], ["x"])
+    got = [r["col_id"] for r in layout.bucket_columns_fixed(df, ranges)
+           .orderBy("x").collect()]
+    assert got == ["ITEM", "DESC", "QTY", None]
+
+
+def test_items_region_detection(spark):
+    lines = [
+        (0, "SUPPLIER XYZ"),
+        (1, "ITEM DESCRIPTION QTY RATE TOTAL IVA"),
+        (2, "1 WIDGET 2 10.00 20.00 14%"),
+        (3, "2 GADGET 1 5.00 5.00 14%"),
+        (4, "TAXABLE AMT 25.00"),
+        (5, "AFTER STOP"),
+    ]
+    df = spark.createDataFrame([("d", n, t) for n, t in lines],
+                               ["doc_id", "line_no", "text"])
+    got = layout.mark_items_region(df, ["doc_id"]).orderBy("line_no").collect()
+    assert [r["in_items"] for r in got] == [False, False, True, True, False, False]
+
+
+def test_strip_boilerplate_repeats_and_avoid(spark):
+    rows = [("d", "PÁGINA 1"), ("d", "body line a"), ("d", "REPEAT ME"),
+            ("d", "REPEAT ME"), ("d", "REPEAT ME"), ("d", "body line b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(r["text"] for r in
+                 layout.strip_boilerplate(df, ["doc_id"]).collect())
+    assert got == ["body line a", "body line b"]
+
+
+def test_with_next_line_lookahead(spark):
+    rows = [("d", 0, "VALOR PAGO"), ("d", 1, "1.500,00 AKZ"), ("d", 2, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "line_no", "text"])
+    got = layout.with_next_line(df, ["doc_id"]).where(
+        F.col("text") == "VALOR PAGO").first()
+    assert got["next_text"] == "1.500,00 AKZ"
