@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, n-gram Jaccard, and embedding-cosine near-dup. All pure DataFrame
+expressions (no UDFs) so the whole stage is codegen'd and the shuffles are
+the only cost.
+
+Cross-engine determinism: token/shingle hashes are 60-bit ints derived from
+md5 hex (identical in Spark and DuckDB), so the DuckDB oracles replicate the
+exact same signatures. ``xxhash64`` would be faster JVM-side but has no
+DuckDB twin; at 100 TB the md5 cost is still trivial next to the shuffle.
+
+Scale notes:
+  * exact dedup: one shuffle on the text hash; AQE handles skewed dup groups.
+  * MinHash-LSH: cost = explode(bands) shuffle; band buckets are the classic
+    skew risk (a boilerplate shingle set shared by millions of docs) — cap
+    bucket size with a count filter before the self-join (`max_bucket`).
+  * pairwise verification joins happen only inside buckets, never globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2147483647  # (a*h + b) % p arithmetic stays < 2^62: no overflow
+
+
+def text_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash shared with DuckDB:
+    spark:  conv(substr(md5(s),1,15),16,10)
+    duckdb: ('0x' || substr(md5(s),1,15))::BIGINT"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct, as text) from a whitespace split."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Shingle set → array of 31-bit hashes (md5-derived, DuckDB-parity)."""
+    return F.transform(
+        shingles(col, n),
+        lambda s: text_hash60(s) % MERSENNE31,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, keeper, dup_ids).
+    One shuffle on the 60-bit hash; keeper = min id (deterministic)."""
+    h = text_hash60(F.col(text_col)).alias("text_hash")
+    return (
+        docs.select(F.col(id_col).alias("id"), h)
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("id").alias("keeper"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
+    """k-permutation MinHash: sig[i] = min over shingles of ((2i+1)h + 3i+7) % p."""
+    hashes = shingle_hashes(col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: ((2 * i + 1) * h + (3 * i + 7)) % MERSENNE31,
+            )
+        ),
+    )
+
+
+def lsh_bands(sig_col: Column, bands: int = 4, rows: int = 4) -> Column:
+    """Signature → array of (band_idx, band_key) structs; band_key is the
+    md5 of the band's joined values (cross-engine stable)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(F.slice(sig_col, b * rows + 1, rows), ","))
+            .alias("key"),
+        ),
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 16, n: int = 3,
+                      bands: int = 4, rows: int = 4,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH bucket.
+
+    explode(bands) → bucket self-pairing via collect_list (buckets capped at
+    `max_bucket` to defuse boilerplate-bucket skew) → distinct pairs.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        lsh_bands(minhash_signature(F.col(text_col), k, n), bands, rows).alias("bands"),
+    )
+    buckets = sig.select("id", F.explode("bands").alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    grouped = (
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"),
+             F.count("*").alias("sz"))
+        .where((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2,
+                                F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise within candidate set or blocked)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs (id_a < id_b) ≥ threshold.
+
+    O(N²) — the verification/oracle path. At scale, feed it ONLY the
+    LSH candidate pairs (join against minhash_lsh_pairs), never the full
+    cross product.
+    """
+    s = docs.select(F.col(id_col).alias("id"),
+                    shingles(F.col(text_col), n).alias("sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = (inter / union).alias("jaccard")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, cross-engine arithmetic)
+# ---------------------------------------------------------------------------
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over word tokens: bit j set iff the sum over tokens of
+    ±1 (by token-hash bit j) is ≥ 0. Pure higher-order functions."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: text_hash60(t) % MERSENNE31)
+    # bit j of h via floor(h / 2^j) % 2 — shift amounts must be columns
+    # inside HOF lambdas, which shiftleft/shiftright don't accept. Exact in
+    # double up to 2^31 (hashes are 31-bit).
+    bit = lambda h, j: (F.floor(h / F.pow(F.lit(2.0), j)) % 2).cast("int")  # noqa: E731
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("bigint"),
+                lambda s, h: s + F.when(bit(h, j) == 1, 1).otherwise(-1),
+            )
+            >= 0,
+            F.pow(F.lit(2.0), j).cast("bigint"),
+        ).otherwise(0),
+    )
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Pairs whose SimHash Hamming distance ≤ max_hamming. Blocks on the
+    high 16 bits first (near-dups almost always share them) so the join is
+    an equi-join, not a cross product."""
+    s = docs.select(F.col(id_col).alias("id"),
+                    simhash32(F.col(text_col)).alias("sh"))
+    s = s.withColumn("blk", F.shiftright(F.col("sh"), 16))
+    a, b = s.alias("a"), s.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    hamming = F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0),
+        lambda acc, j: acc + (F.floor(xor / F.pow(F.lit(2.0), j)) % 2).cast("int"),
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        block_col: str | None = "label") -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold. Optional blocking column
+    turns the cross join into an equi-join (at scale: LSH/IVF buckets)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                   *( [F.col(block_col).alias("blk")] if block_col else []))
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(dot / (na * nb), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

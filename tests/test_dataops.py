@@ -1,0 +1,193 @@
+"""Dedup / similarity / textstats / multimodal / streaming operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from angola_erp_ocr_spark.operators import dedup, multimodal, similarity, textstats
+from angola_erp_ocr_spark.streaming.incremental import windowed_event_counts
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (4, "completely different content about spark engines"),
+        (5, "el rapido zorro marron salta sobre el perro"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark):
+    got = dedup.exact_duplicates(_docs(spark)).collect()
+    assert len(got) == 1
+    assert got[0]["ids"] == [1, 2]
+    assert got[0]["keeper"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 4) not in pairs      # unrelated docs don't
+
+
+def test_jaccard_pairs(spark):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dups(spark):
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_dups(_docs(spark), max_hamming=6).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got
+
+
+def test_lsh_recall_vs_exact(spark):
+    """LSH candidates must cover the high-jaccard ground-truth pairs."""
+    truth = {(r["id_a"], r["id_b"])
+             for r in dedup.jaccard_pairs(_docs(spark), threshold=0.6).collect()}
+    cand = {(r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(_docs(spark)).collect()}
+    assert truth <= cand
+
+
+def _vectors(spark, n=30, dims=8):
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(n):
+        base = [rnd.uniform(-1, 1) for _ in range(dims)]
+        rows.append((i, [float(x) for x in base], i % 3))
+    # vec 100 = exact copy of vec 0 (self-evident nearest neighbour)
+    rows.append((100, rows[0][1], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark):
+    vecs = _vectors(spark)
+    queries = vecs.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk(vecs, queries, k=3).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["nbr_id"] == 100 and abs(got[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_ann_lsh_recall(spark):
+    """Clustered corpus: true neighbours are close in cosine, so LSH buckets
+    must recover most of the exact top-k (random-hyperplane guarantee)."""
+    import random
+    rnd = random.Random(11)
+    centers = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        rows.append((i, [float(x + rnd.gauss(0, 0.05)) for x in c], i % 4))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    queries = vecs.where("vec_id in (0, 1, 2)").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(vecs, queries, k=3)
+    approx = similarity.ann_topk_lsh(vecs, queries, k=3, n_planes=8, dims=8)
+    truth = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, (recall, truth, got)
+
+
+def test_embedding_near_dups(spark):
+    vecs = _vectors(spark)
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_near_dups(vecs, threshold=0.999).collect()}
+    assert (0, 100) in got
+
+
+def test_lang_id(spark):
+    rows = [("the cat is in the house and it is fine",),
+            ("el perro que corre por la casa con los gatos",),
+            ("der hund ist nicht mit das haus und der katze",)]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r[0] for r in df.select(textstats.lang_id(F.col("text"))).collect()]
+    assert got == ["en", "es", "de"]
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], ["text"])
+    row = df.select(
+        textstats.token_count_ws(F.col("text")).alias("ws"),
+        textstats.token_count_bpe(F.col("text")).alias("bpe"),
+        *textstats.quality_features(F.col("text")),
+    ).first()
+    assert row["ws"] == 4
+    # Hello , world ! 42 times → 6 BPE-ish tokens
+    assert row["bpe"] == 6
+    assert row["n_chars"] == 22
+    assert 0 <= row["punct_ratio"] < 0.2
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("alpha beta",), ("beta alpha",)], ["text"])
+    fps = [r[0] for r in df.select(textstats.fingerprint(F.col("text"))).collect()]
+    assert fps[0] != fps[1]          # order matters
+    assert all(isinstance(f, int) and 0 <= f < dedup.MERSENNE31 for f in fps)
+
+
+def test_media_metadata_and_image_stub(spark):
+    rows = [("image://a/1", bytearray(b"\x89PNG fake bytes")),
+            ("image://a/2", bytearray(b"\x89PNG other bytes"))]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    meta = {r["media_ref"]: r for r in multimodal.media_metadata(df).collect()}
+    assert meta["image://a/1"]["media_type"] == "image"
+    assert meta["image://a/1"]["n_bytes"] == 15
+    feats = {r["media_ref"]: r for r in multimodal.decode_images(df).collect()}
+    assert len(feats["image://a/1"]["embedding"]) == 8
+    # deterministic: same bytes → same features
+    again = multimodal.decode_images(df).collect()
+    assert {r["media_ref"]: r["embedding"] for r in again} == {
+        r: feats[r]["embedding"] for r in feats}
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [("video://v/1", bytearray(bytes(2600)))], "media_ref string, payload binary")
+    frames = multimodal.sample_frames(df, every_n=5).collect()
+    assert [f["frame_no"] for f in frames] == [0, 5]
+
+
+def test_windowed_event_counts_batch_semantics(spark, tmp_path):
+    """Streaming agg validated via availableNow on a file stream."""
+    events = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    late = spark.range(100, 101).select(
+        F.col("id").alias("event_id"),
+        F.to_timestamp(F.lit("2024-01-01 02:00:00")).alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    src = str(tmp_path / "src")
+    # two files + maxFilesPerTrigger=1 → two micro-batches; the second
+    # advances the watermark past batch 1's window so append emits it
+    events.coalesce(1).write.parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = windowed_event_counts(stream)
+    out = str(tmp_path / "out")
+    q = (agg.writeStream.outputMode("append")
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["n"] == 100
