@@ -1,38 +1,1490 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one named callable per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives each a DuckDB-equivalent ANSI SQL
+twin over the pre-registered parquet views.  Column names/aliases match
+exactly between the Spark and SQL sides (the driver hashes values after
+sorting columns by name).
+
+Design note: the testdata ``documents`` view is flat text, so queries that
+exercise layout/extraction semantics construct their positioned-line /
+invoice-line inputs *inside the query* with arithmetic on ``doc_id`` that
+is reproduced verbatim in the oracle SQL — both engines see byte-identical
+inputs, and the comparison pins the operator semantics, not the fixture.
+
+Float discipline for cross-engine hashing: sums go through
+``decimal(18,6)`` (exact, order-independent) and are cast back to double;
+ratios/cosines are ``round(x, 6)`` computed with identical operation
+order; ranks are taken over the *rounded* values with an id tiebreak.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from angola_erp_ocr_spark.functions.normalize import (
+    AVOID_RE,
+    CASH_RE,
+    DATE_RE,
+    IBAN_RE,
+    SERIES_RE,
+    iban_regroup_col,
+    iban_regroup_sql,
+    normalize_col,
+    normalize_sql,
+    tokenize_col,
+)
+from angola_erp_ocr_spark.operators import layout
+from angola_erp_ocr_spark.operators.dedup import (
+    MERSENNE31,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash32,
+)
+from angola_erp_ocr_spark.operators.fields import (
+    classify_doc,
+    extract_header_fields,
+)
+from angola_erp_ocr_spark.operators.multimodal import media_metadata
+from angola_erp_ocr_spark.operators.rules import (
+    apply_scalar_rules,
+    apply_table_rule,
+)
+from angola_erp_ocr_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from angola_erp_ocr_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count_bpe,
+)
+from angola_erp_ocr_spark.schema import (
+    CLASS_KEYWORDS,
+    EXTRACTION_RULES,
+    HEADER_WORDS_EN,
+    HEADER_WORDS_PT,
+    STOP_MARKERS,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# 60-bit md5-derived hash, shared with operators/dedup.py:text_hash60
+H60_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+P31 = MERSENNE31  # 2147483647
+
+HEADER_VOCAB = list(dict.fromkeys(HEADER_WORDS_PT + HEADER_WORDS_EN))
+_VOCAB_SQL = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in HEADER_VOCAB) + "]"
+
+_STOP_PAT = "|".join(
+    f"({m})"
+    for m in (
+        s.replace("(", r"\(").replace(")", r"\)").replace(".", r"\.")
+        for s in STOP_MARKERS
+    )
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# ===========================================================================
+# Flagship: the real extraction pipeline (SURVEY §3.1) with a full oracle.
+# documents.text is deterministically "spanified" into positioned lines +
+# page furniture, run through plans.pipeline.extract (reading order,
+# boilerplate strip, offset renumbering), and exploded back to rows.
+# ===========================================================================
+
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.plans.pipeline import extract
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    idx = F.sequence(F.lit(0), n_lines - 1)
+    body = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.format_string(
+                "%d,%d|%s",
+                (40 + (i * 13) % 7).cast("int"),
+                ((i * 37) % 101).cast("int"),
+                F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    furniture = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("40,200|TELEF. 222-333-444").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            n_lines.cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("40,201|PÁGINA 1").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (n_lines + 1).cast("int").alias("offset"),
+        ),
+    )
+    raw = docs.select("doc_id", F.concat(body, furniture).alias("spans"))
+    out = extract(raw)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+SQL_FLAGSHIP = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         CAST(40 + (u.i * 13) % 7 AS INT) AS x,
+         CAST((u.i * 37) % 101 AS INT) AS y,
+         array_to_string(list_slice(t, u.i * 8 + 1, u.i * 8 + 8), ' ') AS line
+  FROM tk, UNNEST(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+  UNION ALL SELECT doc_id, 40, 200, 'TELEF. 222-333-444' FROM tk
+  UNION ALL SELECT doc_id, 40, 201, 'PÁGINA 1' FROM tk
+),
+counted AS (
+  SELECT doc_id, x, y, line,
+         count(*) OVER (PARTITION BY doc_id, line) AS rep
+  FROM lines
+),
+kept AS (
+  SELECT * FROM counted
+  WHERE NOT regexp_matches(upper(line), '{AVOID_RE}') AND rep < 3
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY y, x, line) - 1 AS INT)
+         AS "offset",
+       'text' AS kind,
+       line AS text,
+       CAST(NULL AS VARCHAR) AS media_ref
+FROM kept
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_extract(spark, SF0001)
+
+
+# ===========================================================================
+# P-family: predicates & normalization (SURVEY §2.2) — constructed inputs,
+# identical arithmetic in both engines.
+# ===========================================================================
+
+def q_p6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corrupted = F.format_string(
+        "REF AOOE.%04d TOTAL 2q%02d,50 AKRZ EM MARÇO",
+        (F.col("doc_id") % 10000), (F.col("doc_id") % 100),
+    )
+    return docs.select(
+        "doc_id",
+        corrupted.alias("corrupted"),
+        normalize_col(corrupted).alias("normalized"),
+    )
+
+
+SQL_P6 = f"""
+SELECT doc_id,
+       printf('REF AOOE.%04d TOTAL 2q%02d,50 AKRZ EM MARÇO',
+              doc_id % 10000, doc_id % 100) AS corrupted,
+       {normalize_sql("printf('REF AOOE.%04d TOTAL 2q%02d,50 AKRZ EM MARÇO', doc_id % 10000, doc_id % 100)")}
+         AS normalized
+FROM documents
+"""
+
+
+def q_p1_cash_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("MONTANTE N/A")
+    ).otherwise(
+        F.format_string(
+            "MONTANTE %d.%03d,%02d AKZ",
+            1 + F.col("doc_id") % 90,
+            (F.col("doc_id") * 7) % 1000,
+            F.col("doc_id") % 100,
+        )
+    )
+    return docs.select(
+        "doc_id",
+        line.alias("line"),
+        F.nullif(F.regexp_extract(line, f"({CASH_RE})", 1), F.lit("")).alias("amount"),
+    )
+
+
+SQL_P1 = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'MONTANTE N/A'
+              ELSE printf('MONTANTE %d.%03d,%02d AKZ',
+                          1 + doc_id % 90, (doc_id * 7) % 1000, doc_id % 100)
+         END AS line
+  FROM documents)
+SELECT doc_id, line,
+       nullif(regexp_extract(line, '({CASH_RE})', 1), '') AS amount
+FROM t
+"""
+
+
+def q_p2_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.format_string("DATA 2023/%02d/%02d",
+                        1 + F.col("doc_id") % 12, 1 + F.col("doc_id") % 28),
+    ).otherwise(
+        F.format_string("DATA %02d-%02d-2023",
+                        1 + F.col("doc_id") % 28, 1 + F.col("doc_id") % 12)
+    )
+    raw = F.nullif(F.regexp_extract(line, f"({DATE_RE})", 1), F.lit(""))
+    iso = F.date_format(
+        F.coalesce(
+            F.try_to_timestamp(raw, F.lit("yyyy/MM/dd")),
+            F.try_to_timestamp(raw, F.lit("dd-MM-yyyy")),
+        ),
+        "yyyy-MM-dd",
+    )
+    return docs.select("doc_id", line.alias("line"), raw.alias("raw_date"),
+                       iso.alias("iso_date"))
+
+
+SQL_P2 = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN printf('DATA 2023/%02d/%02d', 1 + doc_id % 12, 1 + doc_id % 28)
+              ELSE printf('DATA %02d-%02d-2023', 1 + doc_id % 28, 1 + doc_id % 12)
+         END AS line
+  FROM documents),
+e AS (
+  SELECT doc_id, line,
+         nullif(regexp_extract(line, '({DATE_RE})', 1), '') AS raw_date
+  FROM t)
+SELECT doc_id, line, raw_date,
+       strftime(coalesce(try_strptime(raw_date, '%Y/%m/%d'),
+                         try_strptime(raw_date, '%d-%m-%Y')),
+                '%Y-%m-%d') AS iso_date
+FROM e
+"""
+
+
+def q_p3_iban_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    raw = F.format_string(
+        "AO06.%d.%d.%d.%d.%d.%d",
+        F.col("doc_id") % 100, (F.col("doc_id") * 3) % 1000,
+        (F.col("doc_id") * 7) % 10000, (F.col("doc_id") * 11) % 100,
+        (F.col("doc_id") * 13) % 1000, F.col("doc_id") % 10,
+    )
+    return docs.select("doc_id", raw.alias("raw_iban"),
+                       iban_regroup_col(raw).alias("iban"))
+
+
+_IBAN_EXPR = ("printf('AO06.%d.%d.%d.%d.%d.%d', doc_id % 100, (doc_id * 3) % 1000, "
+              "(doc_id * 7) % 10000, (doc_id * 11) % 100, (doc_id * 13) % 1000, "
+              "doc_id % 10)")
+SQL_P3 = f"""
+SELECT doc_id, {_IBAN_EXPR} AS raw_iban,
+       {iban_regroup_sql(_IBAN_EXPR)} AS iban
+FROM documents
+"""
+
+
+def q_p4_nif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = F.format_string("NIF: 54%08d", (F.col("doc_id") * 977) % 100000000)
+    return docs.select(
+        "doc_id", line.alias("line"),
+        F.nullif(F.regexp_extract(line, r"NIF[: ]+(\d{10})", 1), F.lit(""))
+        .alias("nif"),
+    )
+
+
+SQL_P4 = r"""
+WITH t AS (
+  SELECT doc_id, printf('NIF: 54%08d', (doc_id * 977) % 100000000) AS line
+  FROM documents)
+SELECT doc_id, line,
+       nullif(regexp_extract(line, 'NIF[: ]+(\d{10})', 1), '') AS nif
+FROM t
+"""
+
+
+def q_p5_series_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = F.format_string("FT AB%02d 2023/%d", F.col("doc_id") % 97,
+                           100 + F.col("doc_id") % 900)
+    return docs.select(
+        "doc_id", line.alias("line"),
+        F.nullif(F.regexp_extract(line, f"({SERIES_RE})", 1), F.lit(""))
+        .alias("invoice_number"),
+    )
+
+
+SQL_P5 = f"""
+WITH t AS (
+  SELECT doc_id, printf('FT AB%02d 2023/%d', doc_id % 97, 100 + doc_id % 900) AS line
+  FROM documents)
+SELECT doc_id, line,
+       nullif(regexp_extract(line, '({SERIES_RE})', 1), '') AS invoice_number
+FROM t
+"""
+
+
+def q_p8_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokenize_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+
+
+SQL_P8 = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\W+', ' ', 'g')), ' ') AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, toks[1] AS first_tok, toks[-1] AS last_tok
+FROM t
+"""
+
+
+def q_p9_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("TELEF. 222-333-444"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("CONTACT demo@example.com"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.format_string("PÁGINA %d", F.col("doc_id") % 9))
+        .otherwise(F.upper(F.substring(F.col("text"), 1, 50)))
+    )
+    lines = docs.select("doc_id", line.alias("line"))
+    return lines.where(~F.upper(F.col("line")).rlike(AVOID_RE))
+
+
+SQL_P9 = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'TELEF. 222-333-444'
+           WHEN 1 THEN 'CONTACT demo@example.com'
+           WHEN 2 THEN printf('PÁGINA %d', doc_id % 9)
+           ELSE upper(substr(text, 1, 50))
+         END AS line
+  FROM documents)
+SELECT doc_id, line FROM t
+WHERE NOT regexp_matches(upper(line), '{AVOID_RE}')
+"""
+
+
+# ===========================================================================
+# L-family: layout / reading order / column detection (SURVEY §2.3).
+# Positioned inputs constructed from (doc_id, word position) arithmetic.
+# ===========================================================================
+
+def _word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, word) rows — posexplode of the text's words."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+
+
+_WORD_ROWS_SQL = """
+  SELECT doc_id, CAST(u.i AS INT) AS pos, t[u.i + 1] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(range(0, len(t))) AS u(i)
+"""
+
+
+def q_l3_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir).select(
+        "doc_id", "pos", "word",
+        ((F.col("pos") * 37) % 11).cast("int").alias("y"),
+        ((F.col("pos") * 13) % 17).cast("int").alias("x"),
+    )
+    ordered = layout.reading_order(rows, scope=["doc_id"], tiebreak="pos")
+    return ordered.select("doc_id", "pos", "y", "x",
+                          F.col("line_no").cast("int").alias("line_no"))
+
+
+SQL_L3 = f"""
+WITH w AS ({_WORD_ROWS_SQL}),
+p AS (
+  SELECT doc_id, pos, CAST((pos * 37) % 11 AS INT) AS y,
+         CAST((pos * 13) % 17 AS INT) AS x
+  FROM w)
+SELECT doc_id, pos, y, x,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY y, x, pos) - 1 AS INT)
+         AS line_no
+FROM p
+"""
+
+
+def q_l4_row_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir).select(
+        "doc_id", "pos",
+        (F.col("pos") * 5 + 30 * F.floor(F.col("pos") / 7)).cast("int").alias("v"),
+    )
+    out = layout.cluster_rows_by_gap(rows, ["doc_id"], "v", 20.0)
+    return out.select("doc_id", "pos", "v",
+                      F.col("row_id").cast("int").alias("row_id"))
+
+
+SQL_L4 = f"""
+WITH w AS ({_WORD_ROWS_SQL}),
+v AS (
+  SELECT doc_id, pos, CAST(pos * 5 + 30 * (pos // 7) AS INT) AS v FROM w),
+b AS (
+  SELECT doc_id, pos, v,
+         CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY v) IS NULL
+                   OR v - lag(v) OVER (PARTITION BY doc_id ORDER BY v) > 20
+              THEN 1 ELSE 0 END AS boundary
+  FROM v)
+SELECT doc_id, pos, v,
+       CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS row_id
+FROM b
+"""
+
+
+_L1_RANGES = [("ITEM", 40, 50), ("DESCRIPTION", 65, 300), ("QTY", 320, 350),
+              ("RATE", 400, 448), ("TOTAL", 449, 550)]
+
+
+def q_l1_bucket_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _word_rows(spark, sf_dir).select(
+        "doc_id", "pos",
+        ((F.col("doc_id") * 7 + F.col("pos") * 53) % 600).cast("int").alias("x"),
+    )
+    return layout.bucket_columns_fixed(rows, _L1_RANGES).select(
+        "doc_id", "pos", "x", "col_id")
+
+
+_L1_CASE = " ".join(
+    f"WHEN x BETWEEN {lo} AND {hi} THEN '{name}'" for name, lo, hi in _L1_RANGES
+)
+SQL_L1 = f"""
+WITH w AS ({_WORD_ROWS_SQL})
+SELECT doc_id, pos, CAST((doc_id * 7 + pos * 53) % 600 AS INT) AS x,
+       CASE {_L1_CASE} ELSE NULL END AS col_id
+FROM w
+"""
+
+
+def q_l5_center_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _word_rows(spark, sf_dir).select(
+        "doc_id", "pos",
+        ((F.col("doc_id") * 7 + F.col("pos") * 53) % 600).cast("int").alias("x"),
+        F.lit(41).alias("w"),
+        F.lit(1).alias("g"),
+    )
+    centers = spark.createDataFrame(
+        [(1, "ID", 45.0), (1, "QTY", 335.0), (1, "RATE", 425.0), (1, "TOTAL", 500.0)],
+        ["g", "col_id", "center_x"],
+    )
+    return layout.assign_to_centers(cells, centers, ["g"]).select(
+        "doc_id", "pos", "x", "col_id")
+
+
+SQL_L5 = f"""
+WITH w AS ({_WORD_ROWS_SQL}),
+cells AS (
+  SELECT doc_id, pos, CAST((doc_id * 7 + pos * 53) % 600 AS INT) AS x FROM w),
+centers AS (
+  SELECT * FROM (VALUES ('ID', 45.0), ('QTY', 335.0), ('RATE', 425.0),
+                        ('TOTAL', 500.0)) AS c(col_id, center_x))
+SELECT doc_id, pos, x,
+       arg_min(col_id, abs(center_x - (x + 41 / 4.0))) AS col_id
+FROM cells, centers
+GROUP BY doc_id, pos, x
+"""
+
+
+def _header_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 deterministic lines per doc exercising header/stop/item regions."""
+    docs = _docs(spark, sf_dir)
+    amt = F.format_string("%d.%03d,%02d", 1 + F.col("doc_id") % 9,
+                          (F.col("doc_id") * 7) % 1000, F.col("doc_id") % 100)
+    lines = F.array(
+        F.lit("TAX INVOICE"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("ITEM DESCRIPTION QTY RATE TOTAL IVA"))
+         .otherwise(F.lit("ARTIGO DESCRIÇÃO QTD. PR.UNIT TOTAL IVA")),
+        F.format_string("1 PARAFUSO-%d 2 10.50 21.00 14%%", F.col("doc_id") % 50),
+        F.format_string("2 CHAPA-%d 3 5.25 15.75 14%%", F.col("doc_id") % 50),
+        F.concat(F.lit("3 TUBO SN:"), (F.col("doc_id") * 31 % 10000).cast("string")),
+        F.concat(F.lit("TAXABLE AMT "), amt),
+        F.lit("AFTER THE STOP MARKER"),
+        F.concat(F.lit("OBS: rodape "), (F.col("doc_id") % 13).cast("string")),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(lines).alias("line_no", "text")
+    ).select("doc_id", F.col("line_no").cast("int").alias("line_no"), "text")
+
+
+_HEADER_LINES_SQL = """
+  SELECT doc_id, CAST(u.i AS INT) AS line_no, l[u.i + 1] AS text
+  FROM (
+    SELECT doc_id, [
+      'TAX INVOICE',
+      CASE WHEN doc_id % 2 = 0 THEN 'ITEM DESCRIPTION QTY RATE TOTAL IVA'
+           ELSE 'ARTIGO DESCRIÇÃO QTD. PR.UNIT TOTAL IVA' END,
+      printf('1 PARAFUSO-%d 2 10.50 21.00 14%%', doc_id % 50),
+      printf('2 CHAPA-%d 3 5.25 15.75 14%%', doc_id % 50),
+      '3 TUBO SN:' || CAST(doc_id * 31 % 10000 AS VARCHAR),
+      'TAXABLE AMT ' || printf('%d.%03d,%02d', 1 + doc_id % 9,
+                               (doc_id * 7) % 1000, doc_id % 100),
+      'AFTER THE STOP MARKER',
+      'OBS: rodape ' || CAST(doc_id % 13 AS VARCHAR)
+    ] AS l FROM documents),
+    UNNEST(range(0, len(l))) AS u(i)
+"""
+
+
+def q_l7_header_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _header_lines(spark, sf_dir)
+    return lines.select(
+        "doc_id", "line_no", "text",
+        layout.header_keyword_count(F.col("text")).alias("hdr_count"),
+        (layout.header_keyword_count(F.col("text")) >= 4).alias("is_header"),
+    )
+
+
+SQL_L7 = f"""
+WITH lines AS ({_HEADER_LINES_SQL})
+SELECT doc_id, line_no, text,
+       len(list_intersect(string_split_regex(upper(text), '\\s+'), {_VOCAB_SQL}))
+         AS hdr_count,
+       len(list_intersect(string_split_regex(upper(text), '\\s+'), {_VOCAB_SQL})) >= 4
+         AS is_header
+FROM lines
+"""
+
+
+def q_l8_items_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _header_lines(spark, sf_dir)
+    out = layout.mark_items_region(lines, ["doc_id"])
+    return out.select(
+        "doc_id", "line_no", "text",
+        F.col("is_header").cast("int").alias("is_header"),
+        F.col("is_stop").cast("int").alias("is_stop"),
+        F.col("in_items").alias("in_items"),
+    )
+
+
+SQL_L8 = f"""
+WITH lines AS ({_HEADER_LINES_SQL}),
+flags AS (
+  SELECT doc_id, line_no, text,
+         CASE WHEN len(list_intersect(string_split_regex(upper(text), '\\s+'),
+                                      {_VOCAB_SQL})) >= 4 THEN 1 ELSE 0 END AS is_header,
+         CASE WHEN regexp_matches(upper(text), '{_STOP_PAT}') THEN 1 ELSE 0 END AS is_stop
+  FROM lines),
+cum AS (
+  SELECT *,
+         max(is_header) OVER (PARTITION BY doc_id ORDER BY line_no
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS past_header
+  FROM flags),
+cum2 AS (
+  SELECT *,
+         max(CASE WHEN is_stop = 1 AND past_header = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY line_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS past_stop
+  FROM cum)
+SELECT doc_id, line_no, text, is_header, is_stop,
+       (past_header = 1 AND is_header = 0 AND past_stop = 0) AS in_items
+FROM cum2
+"""
+
+
+def q_l11_next_line_lookahead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _header_lines(spark, sf_dir)
+    out = layout.with_next_line(lines, ["doc_id"])
+    return out.select("doc_id", "line_no", "text", "next_text")
+
+
+SQL_L11 = f"""
+WITH lines AS ({_HEADER_LINES_SQL})
+SELECT doc_id, line_no, text,
+       lead(text) OVER (PARTITION BY doc_id ORDER BY line_no) AS next_text
+FROM lines
+"""
+
+
+# ===========================================================================
+# L13/L14 + §2.11 rule engine: field extraction on constructed invoice docs.
+# ===========================================================================
+
+def _invoice_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """9 deterministic invoice lines per doc (series/NIF/date/currency/IBAN/
+    total + the VALOR PAGO next-line marker for doc_id%3==0)."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    amt = F.format_string("%d.%03d,%02d", 1 + d % 90, (d * 7) % 1000, d % 100)
+    lines = F.array(
+        F.lit("TAX INVOICE"),
+        F.when(d % 3 == 0, F.lit("RECIBO")).otherwise(F.lit("INVOICE NUMBER")),
+        F.format_string("FT AB%02d 2023/%d", d % 97, 100 + d % 900),
+        F.format_string("NIF: 54%08d", (d * 977) % 100000000),
+        F.format_string("DATA 2023/%02d/%02d", 1 + d % 12, 1 + d % 28),
+        F.when(d % 2 == 0, F.lit("CURRENCY USD")).otherwise(F.lit("MOEDA AKZ")),
+        F.format_string("IBAN AO06.%02d.%03d.%04d.%02d.%03d.%d",
+                        10 + d % 90, 100 + d % 900, 1000 + d % 9000,
+                        10 + (d * 3) % 90, 100 + (d * 7) % 900, d % 10),
+        F.when(d % 3 == 0, F.lit("VALOR PAGO"))
+         .otherwise(F.concat(F.lit("TOTAL "), amt, F.lit(" AKZ"))),
+        F.when(d % 3 == 0, amt).otherwise(F.lit("FIM")),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(lines).alias("line_no", "text")
+    ).select("doc_id", F.col("line_no").cast("int").alias("line_no"), "text")
+
+
+_INVOICE_LINES_SQL = """
+  SELECT doc_id, CAST(u.i AS INT) AS line_no, l[u.i + 1] AS text
+  FROM (
+    SELECT doc_id, [
+      'TAX INVOICE',
+      CASE WHEN doc_id % 3 = 0 THEN 'RECIBO' ELSE 'INVOICE NUMBER' END,
+      printf('FT AB%02d 2023/%d', doc_id % 97, 100 + doc_id % 900),
+      printf('NIF: 54%08d', (doc_id * 977) % 100000000),
+      printf('DATA 2023/%02d/%02d', 1 + doc_id % 12, 1 + doc_id % 28),
+      CASE WHEN doc_id % 2 = 0 THEN 'CURRENCY USD' ELSE 'MOEDA AKZ' END,
+      printf('IBAN AO06.%02d.%03d.%04d.%02d.%03d.%d',
+             10 + doc_id % 90, 100 + doc_id % 900, 1000 + doc_id % 9000,
+             10 + (doc_id * 3) % 90, 100 + (doc_id * 7) % 900, doc_id % 10),
+      CASE WHEN doc_id % 3 = 0 THEN 'VALOR PAGO'
+           ELSE 'TOTAL ' || printf('%d.%03d,%02d', 1 + doc_id % 90,
+                                   (doc_id * 7) % 1000, doc_id % 100) || ' AKZ' END,
+      CASE WHEN doc_id % 3 = 0
+           THEN printf('%d.%03d,%02d', 1 + doc_id % 90, (doc_id * 7) % 1000,
+                       doc_id % 100)
+           ELSE 'FIM' END
+    ] AS l FROM documents),
+    UNNEST(range(0, len(l))) AS u(i)
+"""
+
+
+def q_l13_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _invoice_lines(spark, sf_dir)
+    out = extract_header_fields(lines)
+    return out.select("doc_id", "invoice_number", "supplier_nif", "invoice_date",
+                      "currency", "country", "iban", "total_amount")
+
+
+SQL_L13 = f"""
+WITH lines AS ({_INVOICE_LINES_SQL}),
+led AS (
+  SELECT doc_id, line_no, text,
+         lead(text) OVER (PARTITION BY doc_id ORDER BY line_no) AS next_text
+  FROM lines),
+cand AS (
+  SELECT doc_id, line_no,
+    nullif(regexp_extract(text, '({SERIES_RE})', 1), '') AS c_invoice_number,
+    coalesce(
+      nullif(regexp_extract(text, 'NIF[: ]+(\\d{{10}})', 1), ''),
+      CASE WHEN regexp_matches(text, 'NIF')
+           THEN nullif(regexp_extract(text, '(\\d{{10}})', 1), '') END
+    ) AS c_supplier_nif,
+    nullif(regexp_extract(text, '({DATE_RE})', 1), '') AS c_invoice_date,
+    nullif(regexp_extract(upper(text), '\\b(AKZ|AOA|KZ|USD|EUR)\\b', 1), '')
+      AS c_currency,
+    CASE WHEN regexp_matches(text, '{IBAN_RE}')
+         THEN {iban_regroup_sql("nullif(regexp_extract(text, '(" + IBAN_RE + ")', 1), '')")}
+    END AS c_iban,
+    CASE WHEN regexp_matches(upper(text), 'TOTAL|MONTANTE|VALOR|TAXABLE')
+         THEN nullif(regexp_extract(text, '({CASH_RE})', 1), '') END AS c_total_direct,
+    CASE WHEN regexp_matches(upper(text), 'VALOR PAGO|INVOICE NUMBER')
+         THEN next_text END AS c_next_value
+  FROM led),
+agg AS (
+  SELECT doc_id,
+    arg_min(c_invoice_number, line_no) FILTER (c_invoice_number IS NOT NULL)
+      AS invoice_number0,
+    arg_min(c_supplier_nif, line_no) FILTER (c_supplier_nif IS NOT NULL)
+      AS supplier_nif,
+    arg_min(c_invoice_date, line_no) FILTER (c_invoice_date IS NOT NULL)
+      AS invoice_date,
+    arg_min(c_currency, line_no) FILTER (c_currency IS NOT NULL) AS currency,
+    arg_min(c_iban, line_no) FILTER (c_iban IS NOT NULL) AS iban,
+    arg_min(c_total_direct, line_no) FILTER (c_total_direct IS NOT NULL)
+      AS total_direct,
+    arg_min(c_next_value, line_no) FILTER (c_next_value IS NOT NULL) AS next_value
+  FROM cand GROUP BY doc_id)
+SELECT doc_id,
+  coalesce(invoice_number0,
+           CASE WHEN regexp_matches(next_value, '{SERIES_RE}')
+                THEN next_value END) AS invoice_number,
+  supplier_nif, invoice_date, currency,
+  CASE currency WHEN 'AKZ' THEN 'Angola' WHEN 'AOA' THEN 'Angola'
+                WHEN 'KZ' THEN 'Angola' WHEN 'USD' THEN 'United States'
+                WHEN 'EUR' THEN 'European Union' END AS country,
+  iban,
+  coalesce(total_direct,
+           nullif(regexp_extract(next_value, '({CASH_RE})', 1), ''))
+    AS total_amount
+FROM agg
+"""
+
+
+_CLASS_TEXTS = [
+    "MULTICAIXA EXPRESS RECIBO", "BAI DIRECTO TRANSFERENCIA",
+    "PAGAMENTO DC CONFIRMADO", "MODELO 6 DECLARACAO", "ZAP FIBRA MENSALIDADE",
+    "RUPE GUIA", "MODELO DE FACTURA ORIGINAL", "INVOICE NUMBER 123",
+]
+
+
+def q_l14_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = F.upper(F.substring(F.col("text"), 1, 30))
+    for j, t in enumerate(_CLASS_TEXTS):
+        line = F.when(F.col("doc_id") % 9 == j, F.lit(t)).otherwise(line)
+    return classify_doc(docs.select("doc_id", line.alias("text")))
+
+
+_CLASS_WHENS = " ".join(
+    f"WHEN regexp_matches(t, '{pat}') THEN '{cls}'" for cls, pat in CLASS_KEYWORDS
+)
+_CLASS_TEXT_CASES = " ".join(
+    f"WHEN {j} THEN '{t}'" for j, t in enumerate(_CLASS_TEXTS)
+)
+SQL_L14 = f"""
+WITH d AS (
+  SELECT doc_id,
+         upper(CASE doc_id % 9 {_CLASS_TEXT_CASES}
+               ELSE upper(substr(text, 1, 30)) END) AS t
+  FROM documents)
+SELECT doc_id, CASE {_CLASS_WHENS} ELSE 'noise' END AS doc_class
+FROM d
+"""
+
+
+def _ruled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    cls = (
+        F.when(d % 3 == 0, F.lit("en_invoice"))
+        .when(d % 3 == 1, F.lit("ao_modelo_factura"))
+        .otherwise(F.lit("mcx_express"))
+    )
+    date_line = F.when(
+        d % 2 == 0,
+        F.format_string("DATA 2023/%02d/%02d", 1 + d % 12, 1 + d % 28),
+    ).otherwise(F.format_string("DATA %02d-%02d-2023", 1 + d % 28, 1 + d % 12))
+    text = F.concat_ws(
+        "\n",
+        F.format_string("FT AB%02d 2023/%d", d % 97, 100 + d % 900),
+        F.format_string("NIF: 54%08d", (d * 977) % 100000000),
+        date_line,
+        F.format_string("%d.%03d,%02d AKZ", 1 + d % 90, (d * 7) % 1000, d % 100),
+    )
+    return docs.select("doc_id", cls.alias("doc_class"), text.alias("text"))
+
+
+_RULED_DOCS_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'en_invoice' WHEN 1 THEN 'ao_modelo_factura'
+              ELSE 'mcx_express' END AS doc_class,
+         concat_ws(chr(10),
+           printf('FT AB%02d 2023/%d', doc_id % 97, 100 + doc_id % 900),
+           printf('NIF: 54%08d', (doc_id * 977) % 100000000),
+           CASE WHEN doc_id % 2 = 0
+                THEN printf('DATA 2023/%02d/%02d', 1 + doc_id % 12, 1 + doc_id % 28)
+                ELSE printf('DATA %02d-%02d-2023', 1 + doc_id % 28, 1 + doc_id % 12) END,
+           printf('%d.%03d,%02d AKZ', 1 + doc_id % 90, (doc_id * 7) % 1000,
+                  doc_id % 100)
+         ) AS text
+  FROM documents
+"""
+
+
+def q_rules_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ruled_docs(spark, sf_dir)
+    out = apply_scalar_rules(docs, EXTRACTION_RULES)
+    return out.select("doc_id", "doc_class", "invoice_number", "invoice_date",
+                      "supplier_nif", "valor_pago", "referencia")
+
+
+def _rule_variants_sql(field: str) -> str:
+    """CASE chain reproducing apply_scalar_rules' first-match precedence."""
+    whens = []
+    date_conv = None
+    for doc_class, fld, regexp, group_idx, dtype in EXTRACTION_RULES:
+        if fld != field or dtype == "table":
+            continue
+        pat = regexp.replace("'", "''")
+        hit = f"regexp_extract_all(text, '{pat}', {group_idx})[1]"
+        whens.append(
+            f"WHEN doc_class = '{doc_class}' AND {hit} IS NOT NULL THEN {hit}")
+        if dtype == "date":
+            date_conv = True
+    expr = "CASE " + " ".join(whens) + " ELSE NULL END"
+    if date_conv:
+        expr = (f"strftime(coalesce(try_strptime({expr}, '%Y/%m/%d'), "
+                f"try_strptime({expr}, '%d-%m-%Y')), '%Y-%m-%d')")
+    return expr
+
+
+SQL_RULES_SCALAR = f"""
+WITH d AS ({_RULED_DOCS_SQL})
+SELECT doc_id, doc_class,
+       {_rule_variants_sql("invoice_number")} AS invoice_number,
+       {_rule_variants_sql("invoice_date")} AS invoice_date,
+       {_rule_variants_sql("supplier_nif")} AS supplier_nif,
+       {_rule_variants_sql("valor_pago")} AS valor_pago,
+       {_rule_variants_sql("referencia")} AS referencia
+FROM d
+"""
+
+
+def q_rules_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ruled_docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.format_string("ITEM %d; ITEM %d; ITEM %d",
+                            F.col("doc_id") % 100, (F.col("doc_id") * 3) % 100,
+                            (F.col("doc_id") * 7) % 100),
+        ),
+    )
+    return apply_table_rule(docs, "en_invoice", r"ITEM (\d+)", 1).select(
+        "doc_id", F.col("match_no").cast("int").alias("match_no"), "value")
+
+
+SQL_RULES_TABLE = f"""
+WITH d AS ({_RULED_DOCS_SQL}),
+d2 AS (
+  SELECT doc_id, doc_class,
+         text || chr(10) || printf('ITEM %d; ITEM %d; ITEM %d',
+            doc_id % 100, (doc_id * 3) % 100, (doc_id * 7) % 100) AS text
+  FROM d),
+m AS (
+  SELECT doc_id, regexp_extract_all(text, 'ITEM (\\d+)', 1) AS ms
+  FROM d2 WHERE doc_class = 'en_invoice')
+SELECT doc_id, CAST(u.i AS INT) AS match_no, ms[u.i + 1] AS value
+FROM m, UNNEST(range(0, len(ms))) AS u(i)
+"""
+
+
+# ===========================================================================
+# Dedup / similarity / text-analysis operators (training-data pipeline ops).
+# ===========================================================================
+
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB twin of dedup.shingles(col, n) over `text` (as CTE body)."""
+    return f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(tk) - {n}, 0) + 1),
+           i -> array_to_string(list_slice(tk, i + 1, i + {n}), ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 30).alias("text"))
+    dups = exact_duplicates(docs)
+    return dups.select(
+        "text_hash", "n_dups", "keeper",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",")
+        .alias("ids"),
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH t AS (SELECT doc_id, substr(text, 1, 30) AS key FROM documents),
+g AS (
+  SELECT {_H60.format(x="key")} AS text_hash,
+         count(*) AS n_dups, min(doc_id) AS keeper,
+         array_to_string(list_sort(list(doc_id)), ',') AS ids
+  FROM t GROUP BY 1)
+SELECT text_hash, n_dups, keeper, ids FROM g WHERE n_dups > 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signature(F.col("text"), k=8, n=2)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(sig, lambda x: x.cast("string")), ",")
+        .alias("signature"),
+    )
+
+
+SQL_MINHASH = f"""
+WITH sh AS ({_shingle_sql(2)}),
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_H60.format(x="s")} % {P31}) AS hv
+  FROM sh)
+SELECT doc_id,
+       array_to_string(list_transform(range(0, 8),
+         i -> list_min(list_transform(hv,
+                h -> ((2 * i + 1) * h + (3 * i + 7)) % {P31}))), ',') AS signature
+FROM hs
+"""
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(docs, k=16, n=3, bands=4, rows=4, max_bucket=1000)
+
+
+SQL_LSH_PAIRS = f"""
+WITH sh AS ({_shingle_sql(3)}),
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_H60.format(x="s")} % {P31}) AS hv
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(hv,
+                  h -> ((2 * i + 1) * h + (3 * i + 7)) % {P31}))) AS s
+  FROM hs),
+buckets AS (
+  SELECT doc_id, CAST(u.b AS INT) AS band,
+         md5(array_to_string(list_slice(s, u.b * 4 + 1, u.b * 4 + 4), ',')) AS key
+  FROM sig, UNNEST(range(0, 4)) AS u(b)),
+ok AS (
+  SELECT band, key FROM buckets GROUP BY band, key
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pb AS (SELECT b.* FROM buckets b JOIN ok USING (band, key))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM pb a JOIN pb b USING (band, key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+SQL_JACCARD = f"""
+WITH s AS ({_shingle_sql(3)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+"""
+
+
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH tk AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         unnest(list_transform(t, tok -> {_H60.format(x="tok")} % {P31})) AS hv
+  FROM tk),
+bits AS (
+  SELECT doc_id, u.j,
+         sum(CASE WHEN (hv // CAST(power(2, u.j) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, 32)) AS j) u
+  GROUP BY doc_id, u.j)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# packed-state rolling hash: s encodes (acc, pw) as acc*2^31 + pw
+SQL_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                        tok -> {_H60.format(x="tok")} % {P31}) AS hs
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(1 AS BIGINT), hs),
+         (s, h) -> (((s // 2147483648) + h * (s % 2147483648)) % {P31})
+                   * 2147483648 + ((s % 2147483648) * 31) % {P31})
+       // 2147483648 AS fp
+FROM t
+"""
+
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        lang_id(t).alias("lang_id"),
+        *quality_features(t),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    from angola_erp_ocr_spark.operators.textstats import (
+        LANG_MARKERS, LANG_ORDER, STOPWORDS_EN)
+
+    hits = {
+        lang: ("len(list_filter(toks, t -> list_contains(["
+               + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "], t)))")
+        for lang in LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in LANG_ORDER
+    )
+    stop_arr = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct
+  FROM documents),
+f AS (
+  SELECT doc_id, text, toks, punct,
+         length(text) AS n_chars, len(toks) AS n_tokens,
+         len(list_filter(toks, tok -> list_contains({stop_arr}, tok))) AS stop_hits
+  FROM t)
+SELECT doc_id,
+  CASE {whens} ELSE 'und' END AS lang_id,
+  n_chars, n_tokens,
+  round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+  round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
+  round(list_sum(list_transform(toks, tok -> length(tok)))
+        / greatest(n_tokens, 1), 6) AS mean_word_len,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+    AS n_tokens_bpe,
+  round((least(n_tokens / 20.0, 1.0)
+         + (1.0 - least(punct / greatest(n_chars, 1) * 5, 1.0))
+         + least(stop_hits / greatest(n_tokens, 1) * 4, 1.0)) / 3, 6) AS quality
+FROM f
+"""
+
+
+SQL_TEXTSTATS = _lang_sql()
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk(emb, queries, k=5, query_id_col="query_id")
+
+
+SQL_COSINE_TOPK = """
+WITH c AS (
+  SELECT vec_id AS nbr_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT query_id, nbr_id,
+         round(list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),
+               6) AS cosine
+  FROM c, q WHERE nbr_id <> query_id),
+r AS (
+  SELECT query_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+  FROM s)
+SELECT query_id, rank, nbr_id, cosine FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.dedup import embedding_near_dups
+
+    emb = _emb(spark, sf_dir)
+    return embedding_near_dups(emb, threshold=0.3, block_col="label")
+
+
+SQL_EMB_NEAR_DUPS = """
+WITH v AS (
+  SELECT vec_id AS id, label AS blk,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.vv, b.vv)
+             / (sqrt(list_dot_product(a.vv, a.vv))
+                * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
+FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
+WHERE round(list_dot_product(a.vv, b.vv)
+      / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))),
+      6) >= 0.3
+"""
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.format_string("image://doc/%d", F.col("doc_id")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return media_metadata(media)
+
+
+SQL_MULTIMODAL = """
+SELECT printf('image://doc/%d', doc_id) AS media_ref,
+       'image' AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ===========================================================================
+# Aggregations, joins, sorts, streaming-analogue windows (SURVEY §2.5–2.7,
+# §2.10). Sums go through decimal(18,6) for exact cross-engine equality.
+# ===========================================================================
+
+def _dsum(col: str):
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
+def q_agg_event_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7/A1 analogue: per-type confidence-style aggregation with the
+    reference's -1-sentinel exclusion and readable-count gate."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(F.col("value") != -1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+            F.count(F.when(F.col("value") > 30, 1)).alias("readable"),
+        )
+    )
+
+
+SQL_AGG_EVENTS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(*) FILTER (value > 30) AS readable
+FROM events WHERE value <> -1
+GROUP BY event_type
+"""
+
+
+def q_join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 analogue: fact⋈broadcast-dim enrichment (orders → customer →
+    nation), mirroring the NIF/taxpayer broadcast join."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    dim = customer.join(F.broadcast(nation),
+                        customer.c_nationkey == nation.n_nationkey)
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dsum("o_totalprice").alias("sum_total"))
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_join_sortmerge_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QA-harness-shaped big⋈big join (SURVEY §2.6): lineitem⋈orders on
+    the shuffle key, aggregated per priority."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             _dsum("l_quantity").alias("sum_qty"),
+             _dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+SQL_JOIN_SORTMERGE = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming analogue: the identical windowed aggregation the
+    Structured Streaming path runs, on the batch table."""
+    from angola_erp_ocr_spark.streaming.incremental import windowed_event_counts
+
+    ev = _events(spark, sf_dir)
+    out = windowed_event_counts(ev)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "sum_value",
+    )
+
+
+SQL_WINDOW_EVENTS = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family: deterministic top-k (sort + limit via ranked window)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_orderkey", "o_totalprice",
+                      F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+         AS rank
+FROM orders
+QUALIFY rank <= 10
+"""
+
+
+def q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+SQL_DOCS_BY_SOURCE = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+# ===========================================================================
+# Rows-only queries (no SQL oracle): the OCR/media stage and the golden
+# interleaved pipeline — correctness pinned by tests/test_pipeline_golden.py
+# and by the self-checking golden comparison below.
+# ===========================================================================
+
+_GOLDEN_DOCS = 120
+
+
+def q_ocr_decode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.ocr import ocr_words
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    _raw, _golden, media = build_corpus(spark, _GOLDEN_DOCS)
+    return ocr_words(media)
+
+
+def q_ocr_page_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.ocr import ocr_words, page_confidence
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    _raw, _golden, media = build_corpus(spark, _GOLDEN_DOCS)
+    return page_confidence(ocr_words(media))
+
+
+def q_interleaved_golden_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking: runs the FULL pipeline (digital + media/OCR paths) on
+    the interleaved synthetic corpus and counts exact span-sequence matches
+    against the independently generated golden. n_matched must equal n_docs."""
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    raw, golden, media = build_corpus(spark, _GOLDEN_DOCS)
+    out = extract(raw.select("doc_id", "spans"), media)
+    j = out.alias("o").join(golden.alias("g"), "doc_id")
+    return j.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("o.spans") == F.col("g.spans")).cast("int")).alias("n_matched"),
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann_topk_lsh(emb, queries, k=5, n_planes=10, dims=64,
+                        query_id_col="query_id")
+
+
+def q_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.plans.lineage import lineage_rows
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    raw, _golden, media = build_corpus(spark, _GOLDEN_DOCS)
+    out = extract(raw.select("doc_id", "spans"), media)
+    lin = lineage_rows(out, run_id="contract")
+    return lin.groupBy("run_id").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("docs_out").alias("docs_out"),
+        F.sum("spans_emitted").alias("spans_emitted"),
+    )
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_extract": q_flagship_extract,
+    "p6_normalize": q_p6_normalize,
+    "p1_cash_extract": q_p1_cash_extract,
+    "p2_date_extract": q_p2_date_extract,
+    "p3_iban_regroup": q_p3_iban_regroup,
+    "p4_nif_extract": q_p4_nif_extract,
+    "p5_series_extract": q_p5_series_extract,
+    "p8_tokenize": q_p8_tokenize,
+    "p9_boilerplate_filter": q_p9_boilerplate_filter,
+    "l1_bucket_columns": q_l1_bucket_columns,
+    "l3_reading_order": q_l3_reading_order,
+    "l4_row_cluster": q_l4_row_cluster,
+    "l5_center_assign": q_l5_center_assign,
+    "l7_header_detect": q_l7_header_detect,
+    "l8_items_region": q_l8_items_region,
+    "l11_next_line_lookahead": q_l11_next_line_lookahead,
+    "l13_header_fields": q_l13_header_fields,
+    "l14_classify": q_l14_classify,
+    "rules_scalar": q_rules_scalar,
+    "rules_table": q_rules_table,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash_values": q_simhash_values,
+    "fingerprint": q_fingerprint,
+    "textstats": q_textstats,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "multimodal_metadata": q_multimodal_metadata,
+    "agg_event_quality": q_agg_event_quality,
+    "join_broadcast_enrich": q_join_broadcast_enrich,
+    "join_sortmerge_qa": q_join_sortmerge_qa,
+    "window_event_counts": q_window_event_counts,
+    "topk_orders": q_topk_orders,
+    "docs_by_source": q_docs_by_source,
+    # rows-only (non-SQL-expressible: mapInPandas OCR stage / full pipeline)
+    "ocr_decode_words": q_ocr_decode_words,
+    "ocr_page_confidence": q_ocr_page_confidence,
+    "interleaved_golden_check": q_interleaved_golden_check,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "lineage_stats": q_lineage_stats,
+}
+
+_ORACLES: dict[str, str] = {
+    "flagship_extract": SQL_FLAGSHIP,
+    "p6_normalize": SQL_P6,
+    "p1_cash_extract": SQL_P1,
+    "p2_date_extract": SQL_P2,
+    "p3_iban_regroup": SQL_P3,
+    "p4_nif_extract": SQL_P4,
+    "p5_series_extract": SQL_P5,
+    "p8_tokenize": SQL_P8,
+    "p9_boilerplate_filter": SQL_P9,
+    "l1_bucket_columns": SQL_L1,
+    "l3_reading_order": SQL_L3,
+    "l4_row_cluster": SQL_L4,
+    "l5_center_assign": SQL_L5,
+    "l7_header_detect": SQL_L7,
+    "l8_items_region": SQL_L8,
+    "l11_next_line_lookahead": SQL_L11,
+    "l13_header_fields": SQL_L13,
+    "l14_classify": SQL_L14,
+    "rules_scalar": SQL_RULES_SCALAR,
+    "rules_table": SQL_RULES_TABLE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH,
+    "lsh_candidate_pairs": SQL_LSH_PAIRS,
+    "jaccard_pairs": SQL_JACCARD,
+    "simhash_values": SQL_SIMHASH,
+    "fingerprint": SQL_FINGERPRINT,
+    "textstats": SQL_TEXTSTATS,
+    "embedding_cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dups": SQL_EMB_NEAR_DUPS,
+    "multimodal_metadata": SQL_MULTIMODAL,
+    "agg_event_quality": SQL_AGG_EVENTS,
+    "join_broadcast_enrich": SQL_JOIN_BROADCAST,
+    "join_sortmerge_qa": SQL_JOIN_SORTMERGE,
+    "window_event_counts": SQL_WINDOW_EVENTS,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "docs_by_source": SQL_DOCS_BY_SOURCE,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL for every SQL-expressible query."""
+    return dict(_ORACLES)
