@@ -1,0 +1,209 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the end-to-end
+interleaved extraction throughput, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
+
+``--scaling``: runs the SAME extraction job on the SAME materialized corpus
+at local[N] and local[4N] (N = SPARK_GRAFT_CPUS/4, default 8 vs 32) and
+reports throughput at both plus efficiency = T(4N)/(4*T(N)) — the sandbox
+stand-in for the N-vs-4N-executor criterion (BASELINE.md §3). Results are
+appended to BENCH/BASELINE.md.
+
+The corpus is deterministic (seed=42) and materialized once to parquet, so
+every parallelism level reads identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline operator queries (from the driver contract) timed at SF_DIR
+HEADLINE = [
+    "flagship_extract",
+    "l13_header_fields",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash_values",
+    "textstats",
+    "fingerprint",
+    "embedding_cosine_topk",
+    "join_sortmerge_qa",
+    "window_event_counts",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _corpus_docs(sf: float) -> int:
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0"))
+    if n:
+        return n
+    return max(2000, int(200_000 * sf)) if sf > 0 else 20_000
+
+
+def _spark(master: str, parallelism: int):
+    from angola_erp_ocr_spark.session import get_spark
+
+    spark = get_spark("bench", master=master, shuffle_partitions=parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def materialize_corpus(spark, n_docs: int) -> str:
+    """Build the interleaved corpus once; reused across parallelism levels."""
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    out = f"/tmp/spark_graft_bench_corpus_{n_docs}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        raw, golden, media = build_corpus(spark, n_docs)
+        raw.write.mode("overwrite").parquet(f"{out}/documents_raw")
+        golden.write.mode("overwrite").parquet(f"{out}/documents_expected")
+        media.write.mode("overwrite").parquet(f"{out}/media_pages")
+        open(marker, "w").close()
+    return out
+
+
+def _force(df) -> int:
+    """Fully execute the plan; returns row count (cheap final agg)."""
+    return df.count()
+
+
+def run_extraction(spark, corpus_dir: str) -> tuple[float, int]:
+    """End-to-end interleaved extraction: read parquet → pipeline → force."""
+    from angola_erp_ocr_spark.plans.pipeline import extract
+
+    raw = spark.read.parquet(f"{corpus_dir}/documents_raw")
+    media = spark.read.parquet(f"{corpus_dir}/media_pages")
+    t0 = time.monotonic()
+    n = _force(extract(raw.select("doc_id", "spans"), media))
+    return time.monotonic() - t0, n
+
+
+def span_pass_rate(spark, corpus_dir: str) -> float:
+    from pyspark.sql import functions as F
+
+    from angola_erp_ocr_spark.plans.pipeline import extract
+
+    raw = spark.read.parquet(f"{corpus_dir}/documents_raw")
+    media = spark.read.parquet(f"{corpus_dir}/media_pages")
+    golden = spark.read.parquet(f"{corpus_dir}/documents_expected")
+    out = extract(raw.select("doc_id", "spans"), media)
+    row = (
+        out.alias("o").join(golden.alias("g"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum((F.col("o.spans") == F.col("g.spans")).cast("int")).alias("ok"))
+        .collect()[0]
+    )
+    return (row["ok"] or 0) / max(row["n"], 1)
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    sf = _sf_of(SF_DIR)
+    n_docs = _corpus_docs(sf)
+
+    import __spark_entry__ as contract
+
+    spark = _spark(f"local[{CPUS}]", CPUS)
+    corpus = materialize_corpus(spark, n_docs)
+
+    # end-to-end extraction throughput (the BASELINE.json headline metric)
+    wall, out_docs = run_extraction(spark, corpus)
+    docs_per_sec = n_docs / wall
+
+    qs = contract.queries()
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _force(qs[name](spark, SF_DIR))
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "end-to-end interleaved extraction + headline operator suite",
+        "value": round(wall + sum(qtimes.values()), 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "bench_docs": n_docs,
+        "extract_wall_sec": round(wall, 3),
+        "docs_per_sec": round(docs_per_sec, 1),
+        "docs_out": out_docs,
+        "cpus": CPUS,
+    }
+
+    if scaling:
+        pass_rate = span_pass_rate(spark, corpus)
+        result["span_pass_rate"] = pass_rate
+        spark.stop()
+        levels = {}
+        n_small = max(CPUS // 4, 1)
+        for ncpu in (n_small, CPUS):
+            s = _spark(f"local[{ncpu}]", ncpu)
+            run_extraction(s, corpus)  # warm JVM/code paths
+            w, _ = run_extraction(s, corpus)
+            levels[ncpu] = n_docs / w
+            s.stop()
+        eff = levels[CPUS] / (levels[n_small] * (CPUS / n_small))
+        result["scaling"] = {
+            f"docs_per_sec@local[{n_small}]": round(levels[n_small], 1),
+            f"docs_per_sec@local[{CPUS}]": round(levels[CPUS], 1),
+            "efficiency": round(eff, 3),
+        }
+        _write_bench_md(result, n_small)
+
+    print(json.dumps(result))
+
+
+def _write_bench_md(result: dict, n_small: int) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sc = result["scaling"]
+    cpus = result["cpus"]
+    small_v = sc[f"docs_per_sec@local[{n_small}]"]
+    big_v = sc[f"docs_per_sec@local[{cpus}]"]
+    lines = [
+        "# BENCH — measured scaling protocol results",
+        "",
+        f"Corpus: {result['bench_docs']} interleaved docs (seed=42, "
+        f"deterministic), identical parquet input for both runs.",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| docs/sec @ local[{n_small}] | {small_v} |",
+        f"| docs/sec @ local[{cpus}] | {big_v} |",
+        f"| scaling efficiency (target ≥ 0.8) | {sc['efficiency']} |",
+        f"| span-equality pass rate (target 1.0) | {result['span_pass_rate']} |",
+        f"| headline suite total | {result['value']} s |",
+        "",
+        "Per-query seconds at sf=" + str(result["sf"]) + ":",
+        "",
+        "```json",
+        json.dumps(result["queries"], indent=2),
+        "```",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
