@@ -3,55 +3,88 @@
 A real deployment renders PDF pages to images (reference ocr_read.py:133-147,
 util/ocr_pdf.py:511-539) and runs Tesseract `image_to_data`
 (util/ocr_pdf.py:377-380) to get word boxes. Image libs aren't in this
-sandbox, so a page is encoded as a binary "glyph grid": a packed sequence of
-word records the OCR stage decodes *exactly*. The decode is intentionally
-shaped like `image_to_data` output (D3 in SURVEY §1): parallel word records
-with (block, par, line, word_idx, text, conf, x, y, w, h).
+sandbox, so a page is encoded as a binary "glyph grid" the OCR stage
+decodes *exactly*. The decode is intentionally shaped like `image_to_data`
+output (D3 in SURVEY §1): parallel word records with
+(block, par, line, word_idx, text, conf, x, y, w, h).
 
-Format (little-endian):
-    b"GG01"
-    uint16  word count
-    repeat: uint16 x, y, w, h; uint8 conf, block, par, line; uint16 word_idx
-            uint16 byte-length; utf-8 bytes
+Format GG02 (columnar, little-endian) — decodes with ONE `np.frombuffer`
+per page instead of per-word struct unpacking, which matters when the OCR
+stage chews through millions of words per Arrow batch:
+
+    b"GG02"
+    uint16  word count n
+    n × packed 16-byte records:
+        uint16 x, y, w, h; uint8 conf, block, par, line;
+        uint16 word_idx; uint16 text byte-length
+    concatenated utf-8 word texts
+
+The legacy row-interleaved GG01 format is still decoded for old corpora.
 """
 
 from __future__ import annotations
 
 import struct
 
-MAGIC = b"GG01"
+import numpy as np
+
+MAGIC = b"GG02"
+MAGIC_V1 = b"GG01"
 _HDR = struct.Struct("<4sH")
-_REC = struct.Struct("<HHHHBBBBHH")
+_REC_V1 = struct.Struct("<HHHHBBBBHH")
+
+HEADER_DTYPE = np.dtype(
+    [
+        ("x", "<u2"), ("y", "<u2"), ("w", "<u2"), ("h", "<u2"),
+        ("conf", "u1"), ("block", "u1"), ("par", "u1"), ("line", "u1"),
+        ("word_idx", "<u2"), ("tlen", "<u2"),
+    ]
+)
+
+_FIELDS = ("x", "y", "w", "h", "conf", "block", "par", "line", "word_idx")
 
 
 def encode_page(words: list[dict]) -> bytes:
     """words: dicts with x,y,w,h,conf,block,par,line,word_idx,text."""
-    out = [_HDR.pack(MAGIC, len(words))]
-    for wd in words:
-        b = wd["text"].encode("utf-8")
-        out.append(
-            _REC.pack(
-                wd["x"], wd["y"], wd["w"], wd["h"], wd["conf"],
-                wd["block"], wd["par"], wd["line"], wd["word_idx"], len(b),
-            )
-        )
-        out.append(b)
-    return b"".join(out)
+    n = len(words)
+    arr = np.empty(n, dtype=HEADER_DTYPE)
+    texts = []
+    for i, wd in enumerate(words):
+        tb = wd["text"].encode("utf-8")
+        texts.append(tb)
+        arr[i] = (wd["x"], wd["y"], wd["w"], wd["h"], wd["conf"],
+                  wd["block"], wd["par"], wd["line"], wd["word_idx"], len(tb))
+    return _HDR.pack(MAGIC, n) + arr.tobytes() + b"".join(texts)
+
+
+def decode_page_columns(blob: bytes) -> tuple[np.ndarray, list[str]]:
+    """Fast columnar decode → (structured header array, word texts)."""
+    magic, n = _HDR.unpack_from(blob, 0)
+    if magic == MAGIC:
+        hdr = np.frombuffer(blob, dtype=HEADER_DTYPE, count=n, offset=_HDR.size)
+        start = _HDR.size + n * HEADER_DTYPE.itemsize
+        ends = start + np.cumsum(hdr["tlen"].astype(np.int64))
+        starts = ends - hdr["tlen"]
+        texts = [blob[s:e].decode("utf-8") for s, e in zip(starts, ends)]
+        return hdr, texts
+    if magic == MAGIC_V1:  # legacy row-interleaved
+        pos = _HDR.size
+        hdr = np.empty(n, dtype=HEADER_DTYPE)
+        texts = []
+        for i in range(n):
+            rec = _REC_V1.unpack_from(blob, pos)
+            pos += _REC_V1.size
+            texts.append(blob[pos:pos + rec[9]].decode("utf-8"))
+            pos += rec[9]
+            hdr[i] = rec
+        return hdr, texts
+    raise ValueError("not a glyph grid")
 
 
 def decode_page(blob: bytes) -> list[dict]:
-    magic, n = _HDR.unpack_from(blob, 0)
-    if magic != MAGIC:
-        raise ValueError("not a glyph grid")
-    pos = _HDR.size
-    words = []
-    for _ in range(n):
-        x, y, w, h, conf, block, par, line, word_idx, blen = _REC.unpack_from(blob, pos)
-        pos += _REC.size
-        text = blob[pos : pos + blen].decode("utf-8")
-        pos += blen
-        words.append(
-            dict(x=x, y=y, w=w, h=h, conf=conf, block=block, par=par,
-                 line=line, word_idx=word_idx, text=text)
-        )
-    return words
+    """Row-oriented decode (unit tests / debugging)."""
+    hdr, texts = decode_page_columns(blob)
+    return [
+        {**{f: int(hdr[f][i]) for f in _FIELDS}, "text": texts[i]}
+        for i in range(len(texts))
+    ]

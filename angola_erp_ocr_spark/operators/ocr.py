@@ -26,24 +26,41 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..glyph import decode_page
+import numpy as np
+
+from ..glyph import decode_page_columns
 from ..schema import WORD_BOX
 
 CONF_THRESHOLD = 30  # util/ocr_pdf.py:390-392
 
+_INT_FIELDS = ("block", "par", "line", "word_idx", "conf", "x", "y", "w", "h")
+
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Decode one Arrow batch of glyph-grid pages into word rows."""
-    out = {k: [] for k in ("media_ref", "page_no", "block", "par", "line",
-                           "word_idx", "text", "conf", "x", "y", "w", "h")}
+    """Decode one Arrow batch of glyph-grid pages into word rows.
+
+    Vectorized: each page decodes via one ``np.frombuffer`` (glyph.py
+    GG02); per-page column arrays concatenate into the batch DataFrame —
+    no per-word Python in the hot path."""
+    headers, texts, refs, pages = [], [], [], []
     for media_ref, page_no, blob in zip(pdf["media_ref"], pdf["page_no"],
                                         pdf["glyph_grid"]):
-        for wd in decode_page(bytes(blob)):
-            out["media_ref"].append(media_ref)
-            out["page_no"].append(int(page_no))
-            for k in ("block", "par", "line", "word_idx", "text", "conf",
-                      "x", "y", "w", "h"):
-                out[k].append(wd[k])
+        hdr, txt = decode_page_columns(bytes(blob))
+        headers.append(hdr)
+        texts.extend(txt)
+        refs.append(np.full(len(hdr), media_ref, dtype=object))
+        pages.append(np.full(len(hdr), int(page_no), dtype=np.int32))
+    if not headers:
+        return pd.DataFrame(
+            {k: [] for k in ("media_ref", "page_no", "block", "par", "line",
+                             "word_idx", "text", "conf", "x", "y", "w", "h")})
+    h = np.concatenate(headers)
+    out = {"media_ref": np.concatenate(refs), "page_no": np.concatenate(pages)}
+    for k in ("block", "par", "line", "word_idx"):
+        out[k] = h[k].astype(np.int32)
+    out["text"] = texts
+    for k in ("conf", "x", "y", "w", "h"):
+        out[k] = h[k].astype(np.int32)
     return pd.DataFrame(out)
 
 
@@ -101,3 +118,58 @@ def assemble_lines(words: DataFrame) -> DataFrame:
             F.min("y").alias("y"),
         )
     )
+
+
+def ocr_lines(media_pages: DataFrame) -> DataFrame:
+    """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
+
+    Equivalent to ``assemble_lines(readable_words(ocr_words(pages)))`` but
+    words never leave the UDF: no word-level Arrow transfer and no
+    (media_ref, page, block, par, line) shuffle — at 10^12 docs that
+    shuffle is ~4× the row count of the line table and pure overhead,
+    since words of a line are already adjacent within their page blob.
+    Grouping/sorting is numpy per page; Python touches lines, not words.
+    """
+    import numpy as np
+
+    from ..glyph import decode_page_columns
+
+    schema = ("media_ref string, page_no int, block int, par int, line int, "
+              "text string, x int, y int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, pages, blocks, pars, lns, txts, xs, ys = \
+                [], [], [], [], [], [], [], []
+            for media_ref, page_no, blob in zip(
+                    pdf["media_ref"], pdf["page_no"], pdf["glyph_grid"]):
+                hdr, texts = decode_page_columns(bytes(blob))
+                keep = np.nonzero(hdr["conf"] > CONF_THRESHOLD)[0]
+                if len(keep) == 0:
+                    continue
+                h = hdr[keep]
+                key = ((h["block"].astype(np.int64) << 40)
+                       | (h["par"].astype(np.int64) << 20)
+                       | h["line"].astype(np.int64))
+                order = np.lexsort((h["word_idx"], key))
+                skey = key[order]
+                bounds = np.nonzero(np.diff(skey))[0] + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(skey)]))
+                for s, e in zip(starts, ends):
+                    grp = order[s:e]
+                    first = grp[0]
+                    refs.append(media_ref)
+                    pages.append(int(page_no))
+                    blocks.append(int(h["block"][first]))
+                    pars.append(int(h["par"][first]))
+                    lns.append(int(h["line"][first]))
+                    txts.append(" ".join(texts[keep[g]] for g in grp))
+                    xs.append(int(h["x"][grp].min()))
+                    ys.append(int(h["y"][grp].min()))
+            yield pd.DataFrame(
+                dict(media_ref=refs, page_no=pages, block=blocks, par=pars,
+                     line=lns, text=txts, x=xs, y=ys))
+
+    return media_pages.select("media_ref", "page_no", "glyph_grid").mapInPandas(
+        run, schema=schema)

@@ -4,24 +4,33 @@ One declarative DAG (SURVEY §3.1 "Spark restatement"):
 
     documents(doc_id, spans)
       → posexplode                              (span rows)
-      → segment ids (cumulative media count)    (window)
-      ├ digital text spans: parse "x,y|content" (regexp, JVM)
-      └ media spans: join media_pages → mapInPandas OCR decode (D3 words)
-          → conf gate → line assembly (hash agg) → P6 normalize
+      → ONE projection: segment ids (window) + digital "x,y|content"
+        parse + media markers — no self-union of the raw scan
+      ├ media branch: markers (kind='media' only — filtered BEFORE the
+      │   shuffle, so it moves ~one row per page, not per line)
+      │   → join media_pages → mapInPandas OCR decode (D3 words)
+      │   → conf gate → line assembly (hash agg) → P6 normalize
       → union candidates
+      → repartition(doc_id), then BOTH the repeated-block count window
+        (partitionBy doc_id, text) and the total-order window
+        (partitionBy doc_id) run on that single exchange —
+        hashpartitioning(doc_id) satisfies the clustered distribution of
+        the (doc_id, text) window, so EnsureRequirements adds sorts only
       → boilerplate strip (AVOID_RE + repeated-block ≥k per doc)
-      → total order (seg, rank, y, x) → offsets (window)
-      → re-assemble array<span> per doc (hash agg, sort_array)
+      → total order (seg, rank, y, x) → offsets → array<span> per doc
+        (final groupBy(doc_id) reuses the same partitioning: no exchange)
 
 Scale notes (100 TB / 10^12 docs):
   * The unit of parallelism through the OCR stage is the *page*, not the
     doc — a 300-page doc fans out to 300 independent rows before any
     grouping, so heavy docs can't capsize a task (SURVEY §4 skew defense).
-  * Joins: spans↔media_pages is an equi-join on media_ref (unique per page,
-    no hot keys). All dimension joins elsewhere broadcast.
-  * The only per-doc shuffle is the final assembly groupBy(doc_id); its
-    payload is already reduced to final span structs.
-  * Everything before/after the single mapInPandas stage is whole-stage
+  * Physical exchanges: (1) span rows by doc_id, (2) media markers only
+    (≈#pages rows), (3) OCR word→line hash agg, (4) post-union doc_id for
+    strip+order+assembly. The raw table is scanned twice, but the second
+    scan shuffles only media markers. Verified with .explain("formatted").
+  * Joins: spans↔media_pages is an equi-join on media_ref (unique per
+    page, no hot keys); AQE picks broadcast when the marker side is small.
+  * Everything outside the single mapInPandas stage is whole-stage
     codegen (regex, windows, aggregations).
 """
 
@@ -30,16 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.normalize import normalize_col
-from ..operators import layout
-from ..operators.ocr import assemble_lines, ocr_words, readable_words
+from ..functions.normalize import AVOID_RE, normalize_col
+from ..operators.ocr import ocr_lines
 
 SPAN_POS_RE = r"^(\d+),(\d+)\|"
 
 
-def explode_spans(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, spans) → span rows with segment ids."""
-    s = documents.select(
+def _span_rows(documents: DataFrame) -> DataFrame:
+    return documents.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
     ).select(
         "doc_id",
@@ -48,71 +55,109 @@ def explode_spans(documents: DataFrame) -> DataFrame:
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → span rows with segment ids (cumulative
+    media count in offset order)."""
     w = (
         Window.partitionBy("doc_id")
         .orderBy("offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return s.withColumn(
+    return _span_rows(documents).withColumn(
         "seg", F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).over(w)
     )
 
 
-def digital_candidates(span_rows: DataFrame) -> DataFrame:
-    """Parse positioned digital text spans "x,y|content" → line candidates."""
-    t = span_rows.where(F.col("kind") == "text")
-    # nullif-guarded parse: a span without the "x,y|" prefix must NOT abort
-    # the job (reference R5 crash-stops become QA-tolerant rows; at 10^12
-    # docs a single malformed row can't be allowed to kill the run). Lines
-    # with unparseable coords sort after positioned lines (nulls last).
-    return t.select(
+def base_candidates(documents: DataFrame) -> DataFrame:
+    """Digital text candidates AND media markers in ONE projection over the
+    segmented span rows — a single scan + one doc_id exchange.
+
+    Digital lines parse the "x,y|content" prefix (nullif-guarded: a span
+    without the prefix must NOT abort the job — reference R5 crash-stops
+    become QA-tolerant rows; unparseable coords sort after positioned
+    lines, nulls last). Media rows become rank-0 markers.
+    """
+    rows = explode_spans(documents)
+    is_media = F.col("kind") == "media"
+    return rows.select(
         "doc_id",
         "seg",
-        F.lit(2).alias("rank"),
-        F.nullif(F.regexp_extract("text", SPAN_POS_RE, 2), F.lit(""))
-        .cast("int").alias("y"),
-        F.nullif(F.regexp_extract("text", SPAN_POS_RE, 1), F.lit(""))
-        .cast("int").alias("x"),
-        F.regexp_replace("text", SPAN_POS_RE, "").alias("text"),
-        F.lit(None).cast("string").alias("media_ref"),
+        F.when(is_media, F.lit(0)).otherwise(F.lit(2)).alias("rank"),
+        F.when(is_media, F.lit(-1)).otherwise(
+            F.nullif(F.regexp_extract("text", SPAN_POS_RE, 2), F.lit(""))
+            .cast("int")
+        ).alias("y"),
+        F.when(is_media, F.lit(-1)).otherwise(
+            F.nullif(F.regexp_extract("text", SPAN_POS_RE, 1), F.lit(""))
+            .cast("int")
+        ).alias("x"),
+        F.when(is_media, F.lit("")).otherwise(
+            F.regexp_replace("text", SPAN_POS_RE, "")
+        ).alias("text"),
+        F.when(is_media, F.col("media_ref")).otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
     )
 
 
-def media_candidates(span_rows: DataFrame, media_pages: DataFrame) -> DataFrame:
-    """Media markers + OCR-decoded, normalized line candidates."""
-    markers = span_rows.where(F.col("kind") == "media").select(
-        "doc_id", "seg", "media_ref"
+def media_markers(documents: DataFrame) -> DataFrame:
+    """(doc_id, seg, media_ref) for media spans only.
+
+    seg of a media span = its 1-based rank among the doc's media spans in
+    offset order — identical to the cumulative count, but computed on the
+    kind='media' subset so the shuffle moves one row per *page*, not one
+    per span.
+    """
+    rows = _span_rows(documents).where(F.col("kind") == "media")
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return rows.select(
+        "doc_id", "media_ref", F.row_number().over(w).alias("seg")
     )
-    marker_rows = markers.select(
-        "doc_id", "seg", F.lit(0).alias("rank"),
-        F.lit(-1).alias("y"), F.lit(-1).alias("x"),
-        F.lit("").alias("text"), "media_ref",
-    )
+
+
+def decoded_media_lines(documents: DataFrame, media_pages: DataFrame) -> DataFrame:
+    """OCR path: referenced pages → word stream → conf gate → lines →
+    normalized candidates with (doc_id, seg) resolved via the markers."""
+    markers = media_markers(documents)
     pages = media_pages.join(markers.select("media_ref"), "media_ref", "left_semi")
-    lines = assemble_lines(readable_words(ocr_words(pages)))
-    decoded = (
+    lines = ocr_lines(pages)
+    return (
         lines.withColumn("text", normalize_col(F.col("text")))
-        .join(markers, "media_ref")  # page → (doc_id, seg); media_ref unique
+        .join(markers, "media_ref")  # media_ref unique per page
         .select(
             "doc_id", "seg", F.lit(1).alias("rank"), "y", "x", "text", "media_ref"
         )
     )
-    return marker_rows.unionByName(decoded)
 
 
 def extract(documents: DataFrame, media_pages: DataFrame | None = None,
             repeat_k: int = 3) -> DataFrame:
     """Full extraction → documents_extracted(doc_id, spans)."""
-    rows = explode_spans(documents)
-    cands = digital_candidates(rows)
+    cands = base_candidates(documents)
     if media_pages is not None:
-        cands = cands.unionByName(media_candidates(rows, media_pages))
+        cands = cands.unionByName(
+            decoded_media_lines(documents, media_pages).select(*cands.columns)
+        )
 
-    # boilerplate suppression applies to lines (rank>0); markers always kept
-    lines = layout.strip_boilerplate(
-        cands.where(F.col("rank") > 0), scope=["doc_id"], repeat_k=repeat_k
+    # ONE exchange for everything downstream: repeat-count window
+    # (doc_id, text), boilerplate filter, total-order window (doc_id) and
+    # the final per-doc assembly all run on hashpartitioning(doc_id).
+    part = cands.repartition("doc_id")
+
+    rep_w = Window.partitionBy("doc_id", "text")
+    counted = part.withColumn(
+        "_rep",
+        F.sum(F.when(F.col("rank") > 0, 1).otherwise(0)).over(rep_w),
     )
-    kept = cands.where(F.col("rank") == 0).unionByName(lines)
+    # markers (rank 0) always survive; lines drop on AVOID or repetition
+    kept = counted.where(
+        (F.col("rank") == 0)
+        | (
+            (~F.upper(F.col("text")).rlike(AVOID_RE))
+            & (F.col("_rep") < repeat_k)
+        )
+    ).drop("_rep")
 
     order_w = Window.partitionBy("doc_id").orderBy(
         F.col("seg").asc(), F.col("rank").asc(),
