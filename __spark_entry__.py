@@ -68,6 +68,7 @@ from angola_erp_ocr_spark.operators.textstats import (
 from angola_erp_ocr_spark.schema import (
     CLASS_KEYWORDS,
     EXTRACTION_RULES,
+    FIELD_TEMPLATES,
     HEADER_WORDS_EN,
     HEADER_WORDS_PT,
     STOP_MARKERS,
@@ -1488,3 +1489,300 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for every SQL-expressible query."""
     return dict(_ORACLES)
+
+
+# ===========================================================================
+# L9 (reversed-token item parser), L10 (multi-line stitching),
+# L12 (bbox-template fields), L2 (row pivot) — added after the first
+# contract round; same constructed-input technique.
+# ===========================================================================
+
+_CASH_TOKEN_SQL = (r"^\d{1,3}([. ]\d{3})*,\d{2}$|^\d{1,3}(,\d{3})*\.\d{2}$"
+                   r"|^\d+\.\d{2}$")
+
+
+def _parse_item_sql(line_expr: str) -> dict[str, str]:
+    """DuckDB twin of fields.parse_item_line over a line expression."""
+    toks = f"string_split_regex(trim({line_expr}), '\\s+')"
+    rev = f"list_reverse({toks})"
+    cash = f"list_filter({rev}, t -> regexp_matches(t, '{_CASH_TOKEN_SQL}'))"
+    body = f"list_slice({toks}, 2, greatest(len({toks}), 1))"
+    return {
+        "item_id": (f"CASE WHEN regexp_matches({toks}[1], '^\\d+$') "
+                    f"THEN {toks}[1] END"),
+        "description": (
+            f"nullif(array_to_string(list_filter({body}, "
+            f"t -> NOT regexp_matches(t, '{_CASH_TOKEN_SQL}') "
+            f"AND NOT regexp_matches(t, '^\\d+$') "
+            f"AND NOT regexp_matches(t, '^\\d+%$')), ' '), '')"),
+        "quantity": f"list_filter({body}, t -> regexp_matches(t, '^\\d+$'))[1]",
+        "rate": f"{cash}[2]",
+        "total": f"{cash}[1]",
+        "iva": (f"CASE WHEN regexp_matches({rev}[1], '^\\d+%$') "
+                f"THEN {rev}[1] END"),
+    }
+
+
+def q_l9_parse_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.fields import parse_item_line
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    line = F.when(
+        d % 2 == 0,
+        F.format_string("%d PARAFUSO-%d GROSSO %d %d.%02d %d.%02d 14%%",
+                        1 + d % 9, d % 50, 2 + d % 5,
+                        10 + d % 80, d % 100, 30 + d % 900, d % 100),
+    ).otherwise(
+        F.format_string("%d CHAPA-%d %d %d.%02d %d.%02d",
+                        1 + d % 9, d % 50, 1 + d % 4,
+                        5 + d % 40, d % 100, 20 + d % 500, d % 100)
+    )
+    it = parse_item_line(line)
+    return docs.select(
+        "doc_id", line.alias("line"),
+        it["item_id"].alias("item_id"), it["description"].alias("description"),
+        it["quantity"].alias("quantity"), it["rate"].alias("rate"),
+        it["total"].alias("total"), it["iva"].alias("iva"),
+    )
+
+
+_L9_LINE_SQL = """
+  CASE WHEN doc_id % 2 = 0
+       THEN printf('%d PARAFUSO-%d GROSSO %d %d.%02d %d.%02d 14%%',
+                   1 + doc_id % 9, doc_id % 50, 2 + doc_id % 5,
+                   10 + doc_id % 80, doc_id % 100, 30 + doc_id % 900,
+                   doc_id % 100)
+       ELSE printf('%d CHAPA-%d %d %d.%02d %d.%02d',
+                   1 + doc_id % 9, doc_id % 50, 1 + doc_id % 4,
+                   5 + doc_id % 40, doc_id % 100, 20 + doc_id % 500,
+                   doc_id % 100)
+  END
+"""
+_P9I = _parse_item_sql("line")
+SQL_L9 = f"""
+WITH t AS (SELECT doc_id, {_L9_LINE_SQL} AS line FROM documents)
+SELECT doc_id, line,
+       {_P9I["item_id"]} AS item_id,
+       {_P9I["description"]} AS description,
+       {_P9I["quantity"]} AS quantity,
+       {_P9I["rate"]} AS rate,
+       {_P9I["total"]} AS total,
+       {_P9I["iva"]} AS iva
+FROM t
+"""
+
+
+def _stitch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    lines = F.array(
+        F.lit("ITEM DESCRIPTION QTY RATE TOTAL IVA"),
+        F.format_string("1 PARAFUSO-%d 2 10.50 21.00 14%%", d % 50),
+        F.format_string("SN:%d", 10000 + d % 89999),
+        F.format_string("2 CHAPA-%d 3 5.25 15.75 14%%", d % 50),
+        F.when(d % 2 == 0,
+               F.format_string("ANO %d COR AZUL", 2000 + d % 24))
+         .otherwise(F.format_string("LOTE-%d", d % 997)),
+        F.concat(F.lit("TAXABLE AMT "),
+                 F.format_string("%d.%03d,%02d", 1 + d % 9, (d * 7) % 1000,
+                                 d % 100)),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(lines).alias("line_no", "text")
+    ).select("doc_id", F.col("line_no").cast("int").alias("line_no"), "text")
+
+
+_STITCH_LINES_SQL = """
+  SELECT doc_id, CAST(u.i AS INT) AS line_no, l[u.i + 1] AS text
+  FROM (
+    SELECT doc_id, [
+      'ITEM DESCRIPTION QTY RATE TOTAL IVA',
+      printf('1 PARAFUSO-%d 2 10.50 21.00 14%%', doc_id % 50),
+      printf('SN:%d', 10000 + doc_id % 89999),
+      printf('2 CHAPA-%d 3 5.25 15.75 14%%', doc_id % 50),
+      CASE WHEN doc_id % 2 = 0
+           THEN printf('ANO %d COR AZUL', 2000 + doc_id % 24)
+           ELSE printf('LOTE-%d', doc_id % 997) END,
+      'TAXABLE AMT ' || printf('%d.%03d,%02d', 1 + doc_id % 9,
+                               (doc_id * 7) % 1000, doc_id % 100)
+    ] AS l FROM documents),
+    UNNEST(range(0, len(l))) AS u(i)
+"""
+
+
+def q_l10_stitch_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.fields import stitch_items
+
+    return stitch_items(_stitch_lines(spark, sf_dir))
+
+
+_P10 = _parse_item_sql("text")
+SQL_L10 = f"""
+WITH lines AS ({_STITCH_LINES_SQL}),
+flags AS (
+  SELECT doc_id, line_no, text,
+         CASE WHEN len(list_intersect(string_split_regex(upper(text), '\\s+'),
+                                      {_VOCAB_SQL})) >= 4 THEN 1 ELSE 0 END AS is_header,
+         CASE WHEN regexp_matches(upper(text), '{_STOP_PAT}') THEN 1 ELSE 0 END AS is_stop
+  FROM lines),
+cum AS (
+  SELECT *, max(is_header) OVER (PARTITION BY doc_id ORDER BY line_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS past_header
+  FROM flags),
+cum2 AS (
+  SELECT *, max(CASE WHEN is_stop = 1 AND past_header = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS past_stop
+  FROM cum),
+region AS (
+  SELECT doc_id, line_no, text FROM cum2
+  WHERE past_header = 1 AND is_header = 0 AND past_stop = 0),
+parsed AS (
+  SELECT doc_id, line_no, text,
+         {_P10["item_id"]} AS item_id, {_P10["description"]} AS description,
+         {_P10["quantity"]} AS quantity, {_P10["rate"]} AS rate,
+         {_P10["total"]} AS total, {_P10["iva"]} AS iva,
+         ({_P10["total"]} IS NOT NULL OR {_P10["item_id"]} IS NOT NULL)
+           AS is_anchor
+  FROM region),
+anch AS (
+  SELECT *, last_value(CASE WHEN is_anchor THEN line_no END IGNORE NULLS)
+              OVER (PARTITION BY doc_id ORDER BY line_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS anchor_line
+  FROM parsed),
+grp AS (
+  SELECT doc_id, CAST(anchor_line AS INT) AS anchor_line,
+         arg_min(item_id, line_no) FILTER (is_anchor) AS item_id,
+         arg_min(description, line_no) FILTER (is_anchor) AS adesc,
+         arg_min(quantity, line_no) FILTER (is_anchor) AS quantity,
+         arg_min(rate, line_no) FILTER (is_anchor) AS rate,
+         arg_min(total, line_no) FILTER (is_anchor) AS total,
+         arg_min(iva, line_no) FILTER (is_anchor) AS iva,
+         string_agg(text, ' ' ORDER BY line_no) FILTER (NOT is_anchor) AS cont
+  FROM anch WHERE anchor_line IS NOT NULL
+  GROUP BY doc_id, anchor_line)
+SELECT doc_id, anchor_line, item_id,
+       CASE WHEN cont IS NULL THEN adesc
+            ELSE concat_ws(' ', adesc, cont) END AS description,
+       quantity, rate, total, iva
+FROM grp
+"""
+
+
+def q_l12_bbox_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.layout import bbox_template_fields
+    from angola_erp_ocr_spark.schema import FIELD_TEMPLATES
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    cls = F.when(d % 2 == 0, F.lit("mcx_express")).otherwise(F.lit("baidirecto"))
+    mk = lambda x0, y0, x1, y1, txt: F.struct(  # noqa: E731
+        F.lit(float(x0)).alias("x0"), F.lit(float(y0)).alias("y0"),
+        F.lit(float(x1)).alias("x1"), F.lit(float(y1)).alias("y1"),
+        txt.alias("text"))
+    spans_arr = F.when(
+        d % 2 == 0,
+        F.array(
+            mk(230, 616, 320, 626, F.format_string("2023-01-%02d 10:00", 1 + d % 28)),
+            mk(230, 561, 320, 574, F.format_string("%d,00 AKZ", 100 + d % 900)),
+            mk(230, 541, 320, 554, F.format_string("OP%d", 10000 + d % 89999)),
+            mk(10, 10, 60, 22, F.lit("RODAPE")),
+        ),
+    ).otherwise(
+        F.array(
+            mk(150, 501, 350, 514, F.format_string("AO06.%04d.0001.0002.0003.0004.5", d % 10000)),
+            mk(150, 471, 350, 484, F.format_string("%d,50 AKZ", 200 + d % 700)),
+            mk(10, 10, 60, 22, F.lit("RODAPE")),
+        )
+    )
+    spans = docs.select(
+        "doc_id", cls.alias("doc_class"), F.explode(spans_arr).alias("s")
+    ).select("doc_id", "doc_class", "s.x0", "s.y0", "s.x1", "s.y1", "s.text")
+    templates = spark.createDataFrame(
+        FIELD_TEMPLATES, ["doc_class", "field", "x0", "y0", "x1", "y1"])
+    return bbox_template_fields(spans, templates)
+
+
+_TEMPLATE_VALUES = ", ".join(
+    f"('{c}', '{f}', {x0}, {y0}, {x1}, {y1})"
+    for c, f, x0, y0, x1, y1 in FIELD_TEMPLATES
+)
+SQL_L12 = f"""
+WITH spans AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'mcx_express' ELSE 'baidirecto' END
+           AS doc_class,
+         u.s.x0 AS x0, u.s.y0 AS y0, u.s.x1 AS x1, u.s.y1 AS y1,
+         u.s.text AS text
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN [
+        {{'x0': 230.0, 'y0': 616.0, 'x1': 320.0, 'y1': 626.0,
+          'text': printf('2023-01-%02d 10:00', 1 + doc_id % 28)}},
+        {{'x0': 230.0, 'y0': 561.0, 'x1': 320.0, 'y1': 574.0,
+          'text': printf('%d,00 AKZ', 100 + doc_id % 900)}},
+        {{'x0': 230.0, 'y0': 541.0, 'x1': 320.0, 'y1': 554.0,
+          'text': printf('OP%d', 10000 + doc_id % 89999)}},
+        {{'x0': 10.0, 'y0': 10.0, 'x1': 60.0, 'y1': 22.0, 'text': 'RODAPE'}}
+      ] ELSE [
+        {{'x0': 150.0, 'y0': 501.0, 'x1': 350.0, 'y1': 514.0,
+          'text': printf('AO06.%04d.0001.0002.0003.0004.5', doc_id % 10000)}},
+        {{'x0': 150.0, 'y0': 471.0, 'x1': 350.0, 'y1': 484.0,
+          'text': printf('%d,50 AKZ', 200 + doc_id % 700)}},
+        {{'x0': 10.0, 'y0': 10.0, 'x1': 60.0, 'y1': 22.0, 'text': 'RODAPE'}}
+      ] END AS arr
+    FROM documents), UNNEST(arr) AS u(s)),
+tpl AS (
+  SELECT * FROM (VALUES {_TEMPLATE_VALUES})
+    AS t(doc_class, field, x0, y0, x1, y1)),
+matched AS (
+  SELECT s.doc_id, t.field, s.text, s.y0, s.x0
+  FROM spans s JOIN tpl t
+    ON s.doc_class = t.doc_class
+   AND s.x0 < t.x1 AND s.x1 > t.x0 AND s.y0 < t.y1 AND s.y1 > t.y0)
+SELECT doc_id, field, text FROM (
+  SELECT doc_id, field, text,
+         row_number() OVER (PARTITION BY doc_id, field ORDER BY y0, x0) AS rn
+  FROM matched) WHERE rn = 1
+"""
+
+
+def q_l2_pivot_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _word_rows(spark, sf_dir).where(F.col("pos") < 12).select(
+        "doc_id",
+        (F.col("pos") / 3).cast("int").alias("row_id"),
+        F.element_at(F.array(F.lit("ITEM"), F.lit("QTY"), F.lit("TOTAL")),
+                     (F.col("pos") % 3 + 1).cast("int")).alias("col_id"),
+        "word",
+    ).withColumnRenamed("word", "text")
+    return layout.pivot_rows(cells, ["doc_id"], ["ITEM", "QTY", "TOTAL"])
+
+
+SQL_L2 = f"""
+WITH w AS ({_WORD_ROWS_SQL}),
+cells AS (
+  SELECT doc_id, CAST(pos // 3 AS INT) AS row_id,
+         ['ITEM', 'QTY', 'TOTAL'][(pos % 3) + 1] AS col_id, word AS text
+  FROM w WHERE pos < 12)
+SELECT doc_id, row_id,
+       max(CASE WHEN col_id = 'ITEM' THEN text END) AS "ITEM",
+       max(CASE WHEN col_id = 'QTY' THEN text END) AS "QTY",
+       max(CASE WHEN col_id = 'TOTAL' THEN text END) AS "TOTAL"
+FROM cells GROUP BY doc_id, row_id
+"""
+
+
+_QUERIES.update({
+    "l9_parse_items": q_l9_parse_items,
+    "l10_stitch_items": q_l10_stitch_items,
+    "l12_bbox_fields": q_l12_bbox_fields,
+    "l2_pivot_rows": q_l2_pivot_rows,
+})
+_ORACLES.update({
+    "l9_parse_items": SQL_L9,
+    "l10_stitch_items": SQL_L10,
+    "l12_bbox_fields": SQL_L12,
+    "l2_pivot_rows": SQL_L2,
+})

@@ -27,19 +27,30 @@ from pyspark.sql import functions as F
 # month names→numbers (1385-1390), stray ' ,'→',' (2337).
 # ---------------------------------------------------------------------------
 
-NORMALIZE_RULES: list[tuple[str, str]] = [
+CORE_RULES: list[tuple[str, str]] = [
     (r"AOOE|AOO6|A006|AO0E", "AO06"),            # IBAN country prefix repairs
     (r"AKRZ|AKZZ", "AKZ"),                        # currency token
-    (r"(\d)[qQ](\d)", "<1>0<2>"),                # 2q22 → 2022
-    (r"(\d)[oO](\d)", "<1>0<2>"),                # digit-O-digit → 0
+    (r"(\d)[qQoO](\d)", "<1>0<2>"),              # 2q22/2O22 → 2022 (one pass)
     (r"(\d)[lI](\d)", "<1>1<2>"),                # digit-l/I-digit → 1
     (r"(\d)[sS](\d)", "<1>5<2>"),                # digit-S-digit → 5
     (r" ,", ","),                                 # stray space before comma
+]
+
+# month-name→number repairs only fire on lines that mention a month, so the
+# 12 replace passes hide behind ONE rlike scan (the OCR stage pushes ~10^7
+# lines per executor through this chain — pass count is the cost driver)
+MONTH_RULES: list[tuple[str, str]] = [
     (r"JANEIRO", "01"), (r"FEVEREIRO", "02"), (r"MARÇO", "03"),
     (r"ABRIL", "04"), (r"MAIO", "05"), (r"JUNHO", "06"),
     (r"JULHO", "07"), (r"AGOSTO", "08"), (r"SETEMBRO", "09"),
     (r"OUTUBRO", "10"), (r"NOVEMBRO", "11"), (r"DEZEMBRO", "12"),
 ]
+
+MONTHS_RE = "|".join(p for p, _ in MONTH_RULES)
+
+# flat view (order preserved: core first, then months) for consumers that
+# want the full rule table
+NORMALIZE_RULES: list[tuple[str, str]] = CORE_RULES + MONTH_RULES
 
 
 def _render(repl: str, dialect: str) -> str:
@@ -53,29 +64,44 @@ def _render(repl: str, dialect: str) -> str:
     raise ValueError(dialect)
 
 
+_MONTHS_PY = re.compile(MONTHS_RE)
+
+
 def normalize_py(s: str) -> str:
     """Reference implementation for the corpus generator and unit tests."""
-    for pat, repl in NORMALIZE_RULES:
+    for pat, repl in CORE_RULES:
         s = re.sub(pat, _render(repl, "python"), s)
+    if _MONTHS_PY.search(s):
+        for pat, repl in MONTH_RULES:
+            s = re.sub(pat, _render(repl, "python"), s)
     return s
 
 
 def normalize_col(col: Column) -> Column:
     """Spark column expression: the whole P6 chain, JVM-side."""
     out = col
-    for pat, repl in NORMALIZE_RULES:
+    for pat, repl in CORE_RULES:
         out = F.regexp_replace(out, pat, _render(repl, "java"))
-    return out
+    months = out
+    for pat, repl in MONTH_RULES:
+        months = F.regexp_replace(months, pat, _render(repl, "java"))
+    return F.when(out.rlike(MONTHS_RE), months).otherwise(out)
 
 
 def normalize_sql(expr: str) -> str:
     """DuckDB SQL string applying the same chain (for oracle queries)."""
     out = expr
-    for pat, repl in NORMALIZE_RULES:
+    for pat, repl in CORE_RULES:
         p = pat.replace("'", "''")
         r = _render(repl, "re2").replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
-    return out
+    months = out
+    for pat, repl in MONTH_RULES:
+        p = pat.replace("'", "''")
+        r = _render(repl, "re2").replace("'", "''")
+        months = f"regexp_replace({months}, '{p}', '{r}', 'g')"
+    return (f"CASE WHEN regexp_matches({out}, '{MONTHS_RE}') "
+            f"THEN {months} ELSE {out} END")
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ extraction pipeline or ``layout.reading_order``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import CASH_RE, DATE_RE, IBAN_RE, SERIES_RE, iban_regroup_col
@@ -184,4 +184,69 @@ def extract_fields(lines: DataFrame) -> DataFrame:
             "invoice_date", "currency", "country", "iban", "total_amount",
             "items",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L10 — multi-line item stitching (api/util.py:2778-2790, 2828-2863,
+# 3465-3547): serial numbers / continuation text lines attach to the
+# PREVIOUS item row's description. The reference keeps an oldIDXDescription
+# index; here the anchor is a last(ignorenulls) window, continuations
+# aggregate per anchor — no state, one shuffle.
+# ---------------------------------------------------------------------------
+
+def stitch_items(lines: DataFrame) -> DataFrame:
+    """Items-region lines → one row per item with continuations appended.
+
+    An *anchor* line parses to an item with a total or an item id; any
+    other in-region line is a continuation of the most recent anchor.
+    Returns (doc_id, anchor_line, item_id, description, quantity, rate,
+    total, iva) with description = anchor desc + stitched continuations.
+    """
+    region = mark_items_region(lines, ["doc_id"]).where("in_items")
+    parsed = region.select(
+        "doc_id", "line_no", "text",
+        parse_item_line(F.col("text")).alias("item"),
+    ).withColumn(
+        "is_anchor",
+        F.col("item.total").isNotNull() | F.col("item.item_id").isNotNull(),
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anchored = parsed.withColumn(
+        "anchor_line",
+        F.last(F.when(F.col("is_anchor"), F.col("line_no")), ignorenulls=True)
+        .over(w),
+    ).where(F.col("anchor_line").isNotNull())  # pre-anchor stragglers drop
+    grouped = anchored.groupBy("doc_id", "anchor_line").agg(
+        F.min_by("item", F.when(F.col("is_anchor"), F.col("line_no"))).alias("item"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_anchor"),
+                               F.struct("line_no", "text"))
+                    )
+                ),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("cont"),
+    )
+    desc = F.when(
+        F.col("cont") == "", F.col("item.description")
+    ).otherwise(
+        F.concat_ws(" ", F.col("item.description"), F.col("cont"))
+    )
+    return grouped.select(
+        "doc_id",
+        F.col("anchor_line").cast("int").alias("anchor_line"),
+        F.col("item.item_id").alias("item_id"),
+        desc.alias("description"),
+        F.col("item.quantity").alias("quantity"),
+        F.col("item.rate").alias("rate"),
+        F.col("item.total").alias("total"),
+        F.col("item.iva").alias("iva"),
     )

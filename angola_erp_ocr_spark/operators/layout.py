@@ -173,3 +173,35 @@ def strip_boilerplate(lines: DataFrame, scope: list[str], text_col: str = "text"
 def with_next_line(lines: DataFrame, scope: list[str]) -> DataFrame:
     w = Window.partitionBy(*scope).orderBy("line_no")
     return lines.withColumn("next_text", F.lead("text").over(w))
+
+
+# ---------------------------------------------------------------------------
+# L12 — bbox-template field extraction (util/pdf_scrape.py:165-328): for a
+# known doc class, each field is pulled by a fixed page rectangle. The 93
+# hand-coded `pq(':overlaps_bbox(...)')` calls collapse into one broadcast
+# range-join of positioned spans against a (doc_class, field, rect) table.
+# ---------------------------------------------------------------------------
+
+def bbox_template_fields(spans: DataFrame, templates: DataFrame) -> DataFrame:
+    """spans: (doc_id, doc_class, x0, y0, x1, y1, text) positioned spans.
+    templates: (doc_class, field, x0, y0, x1, y1) — tiny, broadcast.
+
+    A span matches a template when their rectangles overlap (pdfquery's
+    ``:overlaps_bbox`` semantics). Of multiple overlapping spans the one
+    first in reading order (min y0, then x0) wins — one row per
+    (doc_id, field).
+    """
+    t = F.broadcast(templates.select(
+        F.col("doc_class").alias("t_class"), "field",
+        F.col("x0").alias("tx0"), F.col("y0").alias("ty0"),
+        F.col("x1").alias("tx1"), F.col("y1").alias("ty1"),
+    ))
+    overlap = (
+        (F.col("x0") < F.col("tx1")) & (F.col("x1") > F.col("tx0"))
+        & (F.col("y0") < F.col("ty1")) & (F.col("y1") > F.col("ty0"))
+    )
+    joined = spans.join(t, (F.col("doc_class") == F.col("t_class")) & overlap)
+    return (
+        joined.groupBy("doc_id", "field")
+        .agg(F.min_by("text", F.struct(F.col("y0"), F.col("x0"))).alias("text"))
+    )

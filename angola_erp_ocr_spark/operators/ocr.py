@@ -120,7 +120,7 @@ def assemble_lines(words: DataFrame) -> DataFrame:
     )
 
 
-def ocr_lines(media_pages: DataFrame) -> DataFrame:
+def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
 
     Equivalent to ``assemble_lines(readable_words(ocr_words(pages)))`` but
@@ -128,21 +128,39 @@ def ocr_lines(media_pages: DataFrame) -> DataFrame:
     (media_ref, page, block, par, line) shuffle — at 10^12 docs that
     shuffle is ~4× the row count of the line table and pure overhead,
     since words of a line are already adjacent within their page blob.
-    Grouping/sorting is numpy per page; Python touches lines, not words.
+    Numeric per-line reductions are `np.minimum.reduceat` over the sorted
+    word arrays; Python touches line texts only.
+
+    ``passthrough`` columns (e.g. doc_id/seg pre-joined onto the page
+    table) are replicated onto every emitted line, so callers can avoid a
+    line-level join back to page metadata.
     """
     import numpy as np
+    from pyspark.sql import types as T
 
     from ..glyph import decode_page_columns
 
-    schema = ("media_ref string, page_no int, block int, par int, line int, "
-              "text string, x int, y int")
+    base = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("block", T.IntegerType(), False),
+        T.StructField("par", T.IntegerType(), False),
+        T.StructField("line", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("x", T.IntegerType(), True),
+        T.StructField("y", T.IntegerType(), True),
+    ])
+    in_schema = media_pages.schema
+    schema = T.StructType(base.fields + [in_schema[c] for c in passthrough])
+    cols = ["media_ref", "page_no", "glyph_grid", *passthrough]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            refs, pages, blocks, pars, lns, txts, xs, ys = \
-                [], [], [], [], [], [], [], []
-            for media_ref, page_no, blob in zip(
-                    pdf["media_ref"], pdf["page_no"], pdf["glyph_grid"]):
+            refs, pages, heads, txts = [], [], [], []
+            extras: dict[str, list] = {c: [] for c in passthrough}
+            rows = zip(pdf["media_ref"], pdf["page_no"], pdf["glyph_grid"],
+                       *[pdf[c] for c in passthrough])
+            for media_ref, page_no, blob, *extra in rows:
                 hdr, texts = decode_page_columns(bytes(blob))
                 keep = np.nonzero(hdr["conf"] > CONF_THRESHOLD)[0]
                 if len(keep) == 0:
@@ -152,24 +170,38 @@ def ocr_lines(media_pages: DataFrame) -> DataFrame:
                        | (h["par"].astype(np.int64) << 20)
                        | h["line"].astype(np.int64))
                 order = np.lexsort((h["word_idx"], key))
+                h2 = h[order]
                 skey = key[order]
                 bounds = np.nonzero(np.diff(skey))[0] + 1
                 starts = np.concatenate(([0], bounds))
                 ends = np.concatenate((bounds, [len(skey)]))
-                for s, e in zip(starts, ends):
-                    grp = order[s:e]
-                    first = grp[0]
-                    refs.append(media_ref)
-                    pages.append(int(page_no))
-                    blocks.append(int(h["block"][first]))
-                    pars.append(int(h["par"][first]))
-                    lns.append(int(h["line"][first]))
-                    txts.append(" ".join(texts[keep[g]] for g in grp))
-                    xs.append(int(h["x"][grp].min()))
-                    ys.append(int(h["y"][grp].min()))
-            yield pd.DataFrame(
-                dict(media_ref=refs, page_no=pages, block=blocks, par=pars,
-                     line=lns, text=txts, x=xs, y=ys))
+                n_lines = len(starts)
+                # numeric reductions, vectorized per page
+                heads.append(np.stack([
+                    h2["block"][starts].astype(np.int32),
+                    h2["par"][starts].astype(np.int32),
+                    h2["line"][starts].astype(np.int32),
+                    np.minimum.reduceat(h2["x"], starts).astype(np.int32),
+                    np.minimum.reduceat(h2["y"], starts).astype(np.int32),
+                ], axis=1))
+                ts = [texts[keep[i]] for i in order]
+                txts.extend(" ".join(ts[s:e]) for s, e in zip(starts, ends))
+                refs.append(np.full(n_lines, media_ref, dtype=object))
+                pages.append(np.full(n_lines, int(page_no), dtype=np.int32))
+                for c, v in zip(passthrough, extra):
+                    extras[c].append(np.full(n_lines, v, dtype=object))
+            if not heads:
+                yield pd.DataFrame({f.name: [] for f in schema.fields})
+                continue
+            hh = np.concatenate(heads)
+            out = {
+                "media_ref": np.concatenate(refs),
+                "page_no": np.concatenate(pages),
+                "block": hh[:, 0], "par": hh[:, 1], "line": hh[:, 2],
+                "text": txts, "x": hh[:, 3], "y": hh[:, 4],
+            }
+            for c in passthrough:
+                out[c] = np.concatenate(extras[c])
+            yield pd.DataFrame(out)
 
-    return media_pages.select("media_ref", "page_no", "glyph_grid").mapInPandas(
-        run, schema=schema)
+    return media_pages.select(*cols).mapInPandas(run, schema=schema)

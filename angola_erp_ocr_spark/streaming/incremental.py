@@ -56,6 +56,10 @@ def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        # decimal sum: exact and order-independent regardless of partition
+        # merge order (double sums are not associative)
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )

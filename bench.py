@@ -158,23 +158,61 @@ def main() -> None:
         pass_rate = span_pass_rate(spark, corpus)
         result["span_pass_rate"] = pass_rate
         spark.stop()
-        levels = {}
-        n_small = max(CPUS // 4, 1)
-        for ncpu in (n_small, CPUS):
-            s = _spark(f"local[{ncpu}]", ncpu)
-            run_extraction(s, corpus)  # warm JVM/code paths
-            w, _ = run_extraction(s, corpus)
-            levels[ncpu] = n_docs / w
-            s.stop()
-        eff = levels[CPUS] / (levels[n_small] * (CPUS / n_small))
-        result["scaling"] = {
-            f"docs_per_sec@local[{n_small}]": round(levels[n_small], 1),
-            f"docs_per_sec@local[{CPUS}]": round(levels[CPUS], 1),
-            "efficiency": round(eff, 3),
-        }
-        _write_bench_md(result, n_small)
+        # scaling needs enough per-level work to amortize fixed stage
+        # overhead — default 500k docs regardless of the headline sf
+        scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "500000"))
+        result["scaling"] = run_scaling_protocol(corpus, n_docs, scale_docs)
+        result["scale_docs"] = scale_docs
+        _write_bench_md(result, max(CPUS // 4, 1))
 
     print(json.dumps(result))
+
+
+def run_scaling_protocol(corpus: str, n_docs: int,
+                         scale_docs: int | None = None) -> dict:
+    """N vs 4N executors, sandbox protocol (BASELINE.md §3).
+
+    Each level is a separate ``spark-submit --py-files`` process; the
+    small level is pinned with ``taskset`` to exactly N cores — a bare
+    ``local[N]`` on a 4N-core box would still use extra cores for GC,
+    shuffle IO and Python workers, silently inflating the small-N
+    throughput and corrupting the efficiency ratio.
+    """
+    import subprocess
+
+    subprocess.run(["sh", os.path.join(REPO, "tools", "make_pyfiles.sh")],
+                   check=True, capture_output=True)
+    scale_corpus = corpus
+    if scale_docs and scale_docs != n_docs:
+        spark = _spark(f"local[{CPUS}]", 2 * CPUS)
+        scale_corpus = materialize_corpus(spark, scale_docs)
+        spark.stop()
+
+    n_small = max(CPUS // 4, 1)
+    out = {}
+    thr = {}
+    for ncpu in (n_small, CPUS):
+        cmd = [
+            "taskset", "-c", f"0-{ncpu - 1}",
+            "spark-submit", "--master", f"local[{ncpu}]",
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            "--conf", f"spark.sql.shuffle.partitions={2 * ncpu}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", "/tmp/angola_erp_ocr_spark.zip",
+            os.path.join(REPO, "bench", "run.py"),
+            "--corpus", scale_corpus, "--time-only", "--runs", "3",
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=3600)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        thr[ncpu] = r["docs_per_sec"]
+        out[f"docs_per_sec@local[{ncpu}]"] = r["docs_per_sec"]
+    out["efficiency"] = round(thr[CPUS] / (thr[n_small] * (CPUS / n_small)), 3)
+    out["protocol"] = (f"taskset-pinned spark-submit --py-files, best of 3, "
+                       f"same corpus ({scale_corpus})")
+    return out
 
 
 def _write_bench_md(result: dict, n_small: int) -> None:
