@@ -1786,3 +1786,102 @@ _ORACLES.update({
     "l12_bbox_fields": SQL_L12,
     "l2_pivot_rows": SQL_L2,
 })
+
+
+def q_cascade_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2 cascade on a corpus where some docs fail the default OCR gate:
+    returns per-doc (had_text_pass1, has_text_final) — the retry must
+    recover every failing doc (rows-only; semantics pinned by
+    tests/test_resume_lineage.py::test_cascade_retry_recovers_low_conf_docs).
+    """
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.plans.cascade import extract_with_retry
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    def page(conf: int, *words: str):
+        return bytearray(encode_page([
+            dict(x=40 + 60 * i, y=10, w=50, h=12, conf=conf, block=0, par=0,
+                 line=0, word_idx=i, text=w)
+            for i, w in enumerate(words)
+        ]))
+
+    docs, media = [], []
+    for i in range(18):
+        did = f"c{i:04d}"
+        conf = 15 if i % 3 == 0 else 80  # every 3rd doc fails the gate
+        docs.append((did, None, [("media", "", f"page://{did}/0", 0)]))
+        media.append((f"page://{did}/0", 0, page(conf, "LINHA", f"N{i}"), 150))
+    raw = spark.createDataFrame(docs, DOCUMENTS_RAW).select("doc_id", "spans")
+    pages = spark.createDataFrame(media, MEDIA_PAGE)
+
+    has_text = F.exists("spans", lambda s: s["kind"] == "text")
+    p1 = extract(raw, pages).select("doc_id", has_text.alias("had_text_pass1"))
+    final = extract_with_retry(raw, pages).select(
+        "doc_id", has_text.alias("has_text_final"))
+    return p1.join(final, "doc_id")
+
+
+_QUERIES["cascade_retry"] = q_cascade_retry
+
+
+_SPELL_DICT = ["factura", "recibo", "pagamento", "montante", "operacao",
+               "referencia", "imposto", "fornecedor", "cliente", "total"]
+
+
+def q_p12_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: broadcast-dictionary spellcheck; misspellings constructed by
+    deterministic single-char corruption of dictionary words."""
+    from angola_erp_ocr_spark.operators.textstats import spellcheck_tokens
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in _SPELL_DICT]), (d % 10 + 1).cast("int"))
+    # corrupt: every 3rd doc replaces char 2 with 'x'; every 3rd+1 drops it
+    token = (
+        F.when(d % 3 == 0,
+               F.concat(F.substring(word, 1, 1), F.lit("x"),
+                        F.substring(word, 3, 100)))
+        .when(d % 3 == 1, F.concat(F.substring(word, 1, 1),
+                                   F.substring(word, 3, 100)))
+        .otherwise(word)
+    )
+    tokens = docs.select("doc_id", token.alias("token"))
+    dic = spark.createDataFrame([(w,) for w in _SPELL_DICT], ["word"])
+    return spellcheck_tokens(tokens, dic).select("doc_id", "token", "corrected")
+
+
+_DICT_SQL = "[" + ", ".join(f"'{w}'" for w in _SPELL_DICT) + "]"
+SQL_P12 = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_DICT_SQL}[CAST(doc_id % 10 + 1 AS INT)] AS word
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN substr(word, 1, 1) || 'x' || substr(word, 3, 100)
+              WHEN doc_id % 3 = 1
+              THEN substr(word, 1, 1) || substr(word, 3, 100)
+              ELSE word END AS token
+  FROM toks),
+dict AS (SELECT unnest({_DICT_SQL}) AS word),
+unknown AS (
+  SELECT t.* FROM t WHERE token NOT IN (SELECT word FROM dict)),
+best AS (
+  SELECT doc_id, token, word AS corrected FROM (
+    SELECT u.doc_id, u.token, d.word,
+           row_number() OVER (PARTITION BY u.doc_id, u.token
+                ORDER BY levenshtein(u.token, d.word), d.word) AS rn
+    FROM unknown u, dict d
+    WHERE levenshtein(u.token, d.word) <= 2) WHERE rn = 1)
+SELECT doc_id, token, token AS corrected FROM t
+WHERE token IN (SELECT word FROM dict)
+UNION ALL
+SELECT u.doc_id, u.token, coalesce(b.corrected, u.token) AS corrected
+FROM unknown u LEFT JOIN best b USING (doc_id, token)
+"""
+
+_QUERIES["p12_spellcheck"] = q_p12_spellcheck
+_ORACLES["p12_spellcheck"] = SQL_P12

@@ -120,7 +120,8 @@ def assemble_lines(words: DataFrame) -> DataFrame:
     )
 
 
-def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
+              conf_threshold: int = CONF_THRESHOLD) -> DataFrame:
     """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
 
     Equivalent to ``assemble_lines(readable_words(ocr_words(pages)))`` but
@@ -162,7 +163,7 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = ()) -> Data
                        *[pdf[c] for c in passthrough])
             for media_ref, page_no, blob, *extra in rows:
                 hdr, texts = decode_page_columns(bytes(blob))
-                keep = np.nonzero(hdr["conf"] > CONF_THRESHOLD)[0]
+                keep = np.nonzero(hdr["conf"] > conf_threshold)[0]
                 if len(keep) == 0:
                     continue
                 h = hdr[keep]

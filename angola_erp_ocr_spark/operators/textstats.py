@@ -119,3 +119,37 @@ def fingerprint(col: Column) -> Column:
         ),
         lambda st: st["acc"],
     )
+
+
+# ---------------------------------------------------------------------------
+# P12 — spellcheck projection (reference ocr_read.py:33-49, pyspellchecker,
+# gated by the `spell_checker` flag). Spark form: unknown tokens join a
+# broadcast dictionary on edit distance; the closest word (distance, then
+# lexicographic — deterministic) wins; distance > max_dist keeps the token.
+# Pure built-ins: levenshtein + broadcast join + min_by. No UDF.
+# ---------------------------------------------------------------------------
+
+def spellcheck_tokens(tokens, dictionary, token_col: str = "token",
+                      max_dist: int = 2):
+    """tokens: DataFrame with `token_col` (+ any id columns).
+    dictionary: DataFrame with a single `word` column (small, broadcast).
+    Adds `corrected`: the token itself if in-dictionary or no candidate
+    within `max_dist`, else the closest dictionary word."""
+    from pyspark.sql import functions as F
+
+    keys = [c for c in tokens.columns]
+    dic = F.broadcast(dictionary.select("word"))
+    known = tokens.join(dic, F.col(token_col) == F.col("word"), "left_semi")
+    unknown = tokens.join(dic, F.col(token_col) == F.col("word"), "left_anti")
+    scored = (
+        unknown.join(dic)
+        .withColumn("_d", F.levenshtein(F.col(token_col), F.col("word")))
+        .where(F.col("_d") <= max_dist)
+    )
+    best = scored.groupBy(*keys).agg(
+        F.min_by("word", F.struct(F.col("_d"), F.col("word"))).alias("corrected")
+    )
+    fixed = unknown.join(best, keys, "left").withColumn(
+        "corrected", F.coalesce(F.col("corrected"), F.col(token_col))
+    )
+    return known.withColumn("corrected", F.col(token_col)).unionByName(fixed)

@@ -1,0 +1,82 @@
+"""R1/R2 — the cheap-path-first cascade and the bounded retry ladder.
+
+The reference tries born-digital scrape first and escalates to OCR, then
+retries OCR over an open-ended (psm × language × dpi) ladder until "must"
+fields appear (SURVEY §4 R1/R2; api/util.py:88-115, util/ocr_pdf.py:
+1170-1183, 2309-2419). The Spark restatement is set-oriented and bounded:
+
+  * R1 is already inside ``extract`` — digital spans never enter the OCR
+    stage; only ``kind='media'`` pages reach the mapInPandas decode, so
+    the cheap path is the plan shape, not a control-flow branch.
+  * R2 becomes exactly TWO passes: extract everything, identify documents
+    whose result contains no text spans (the ERRO_QUALIDADE analogue —
+    every OCR word fell below the confidence gate), and re-run only those
+    documents with the fallback configuration (lower gate, standing in
+    for the reference's alternate psm/lang/dpi). A filter + anti-join +
+    union — no loops, no driver-side iteration.
+
+At production scale the first pass is committed to the lake before the
+retry (``cascade_committed``), so the retry reads the failed set from the
+committed table instead of recomputing the first pass — the same
+anti-join discipline as resume (SURVEY §4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import extract
+
+RETRY_CONF_THRESHOLD = 10  # fallback gate (reference dpi/psm ladder analogue)
+
+
+def _has_text(col: str = "spans"):
+    return F.exists(col, lambda s: s["kind"] == "text")
+
+
+def extract_with_retry(
+    documents: DataFrame,
+    media_pages: DataFrame,
+    retry_conf: int = RETRY_CONF_THRESHOLD,
+    repeat_k: int = 3,
+) -> DataFrame:
+    """One-plan variant: first pass ∪ (retry over the failed subset).
+
+    Note the first pass appears twice in the logical plan (once for the
+    survivors, once to derive the failed ids); use ``cascade_committed``
+    when the first pass should be computed exactly once.
+    """
+    first = extract(documents, media_pages, repeat_k)
+    failed_ids = first.where(~_has_text()).select("doc_id")
+    ok = first.join(failed_ids, "doc_id", "left_anti")
+    retried = extract(
+        documents.join(failed_ids, "doc_id", "left_semi"),
+        media_pages, repeat_k, conf_threshold=retry_conf,
+    )
+    return ok.unionByName(retried)
+
+
+def cascade_committed(
+    spark: SparkSession,
+    documents: DataFrame,
+    media_pages: DataFrame,
+    out_dir: str,
+    retry_conf: int = RETRY_CONF_THRESHOLD,
+    repeat_k: int = 3,
+) -> DataFrame:
+    """Production shape: commit pass 1, retry the failed subset from the
+    committed table, overwrite their rows. Returns the final table."""
+    path = f"{out_dir}/documents_extracted"
+    extract(documents, media_pages, repeat_k).write.mode("overwrite").parquet(path)
+    committed = spark.read.parquet(path)
+    failed_ids = committed.where(~_has_text()).select("doc_id")
+    if failed_ids.isEmpty():
+        return committed
+    retried = extract(
+        documents.join(failed_ids, "doc_id", "left_semi"),
+        media_pages, repeat_k, conf_threshold=retry_conf,
+    )
+    keep = committed.join(failed_ids, "doc_id", "left_anti")
+    keep.unionByName(retried).write.mode("overwrite").parquet(f"{path}_v2")
+    return spark.read.parquet(f"{path}_v2")

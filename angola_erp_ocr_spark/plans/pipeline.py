@@ -116,7 +116,8 @@ def media_markers(documents: DataFrame) -> DataFrame:
     )
 
 
-def decoded_media_lines(documents: DataFrame, media_pages: DataFrame) -> DataFrame:
+def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
+                        conf_threshold: int | None = None) -> DataFrame:
     """OCR path: referenced pages → word stream → conf gate → lines →
     normalized candidates with (doc_id, seg) resolved via the markers."""
     markers = media_markers(documents)
@@ -124,7 +125,8 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame) -> DataFra
     # OCR stage replicate them onto lines — joining after decode would move
     # every line (≈6× the pages) through the join instead
     pages = media_pages.join(markers, "media_ref")
-    lines = ocr_lines(pages, passthrough=("doc_id", "seg"))
+    kwargs = {} if conf_threshold is None else {"conf_threshold": conf_threshold}
+    lines = ocr_lines(pages, passthrough=("doc_id", "seg"), **kwargs)
     return lines.select(
         "doc_id",
         F.col("seg").cast("long").alias("seg"),
@@ -137,17 +139,21 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame) -> DataFra
 
 
 def extract(documents: DataFrame, media_pages: DataFrame | None = None,
-            repeat_k: int = 3) -> DataFrame:
+            repeat_k: int = 3, conf_threshold: int | None = None) -> DataFrame:
     """Full extraction → documents_extracted(doc_id, spans)."""
     cands = base_candidates(documents)
     if media_pages is not None:
         cands = cands.unionByName(
-            decoded_media_lines(documents, media_pages).select(*cands.columns)
+            decoded_media_lines(documents, media_pages, conf_threshold)
+            .select(*cands.columns)
         )
 
     # ONE exchange for everything downstream: repeat-count window
     # (doc_id, text), boilerplate filter, total-order window (doc_id) and
     # the final per-doc assembly all run on hashpartitioning(doc_id).
+    # (An agg+anti-join formulation of the repeated-block drop was tried
+    # and rejected: Catalyst pushes the join through the union and
+    # re-plans the whole scan+OCR subtree once per branch — 4× the work.)
     part = cands.repartition("doc_id")
 
     rep_w = Window.partitionBy("doc_id", "text")

@@ -72,3 +72,52 @@ def test_fused_ocr_lines_matches_unfused(spark):
     unfused = assemble_lines(readable_words(ocr_words(media)))
     assert fused.exceptAll(unfused).count() == 0
     assert unfused.exceptAll(fused).count() == 0
+
+
+def test_cascade_retry_recovers_low_conf_docs(spark):
+    """R2: a doc whose OCR words all fall below the default gate yields no
+    text spans in pass 1; the bounded retry (lower gate) recovers it."""
+    from pyspark.sql import types as T
+
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.plans.cascade import extract_with_retry
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    words = [dict(x=40, y=10, w=30, h=12, conf=15, block=0, par=0, line=0,
+                  word_idx=0, text="FRACO"),
+             dict(x=80, y=10, w=30, h=12, conf=12, block=0, par=0, line=0,
+                  word_idx=1, text="SCAN")]
+    good = [dict(x=40, y=10, w=30, h=12, conf=80, block=0, par=0, line=0,
+                 word_idx=0, text="BOM")]
+    docs = spark.createDataFrame(
+        [("low", None, [("media", "", "page://low/0", 0)]),
+         ("hi", None, [("media", "", "page://hi/0", 0)])],
+        DOCUMENTS_RAW)
+    media = spark.createDataFrame(
+        [("page://low/0", 0, bytearray(encode_page(words)), 150),
+         ("page://hi/0", 0, bytearray(encode_page(good)), 150)],
+        MEDIA_PAGE)
+
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    first = {r["doc_id"]: r["spans"] for r in extract(docs, media).collect()}
+    assert all(s["kind"] == "media" for s in first["low"])  # gate dropped all
+
+    out = {r["doc_id"]: r["spans"] for r in
+           extract_with_retry(docs, media).collect()}
+    low_texts = [s["text"] for s in out["low"] if s["kind"] == "text"]
+    assert low_texts == ["FRACO SCAN"]
+    hi_texts = [s["text"] for s in out["hi"] if s["kind"] == "text"]
+    assert hi_texts == ["BOM"]
+
+
+def test_sources_path_resolution(spark):
+    from angola_erp_ocr_spark.sources.tables import resolve_path
+
+    df = spark.createDataFrame(
+        [("/files/a.pdf",), ("/private/files/b.pdf",), ("/assets/c.png",),
+         ("/abs/d.pdf",), ("e.pdf",), ("https://x.test/f.pdf",)], ["p"])
+    got = [r["r"] for r in
+           df.select(resolve_path(F.col("p"), "/srv/erp").alias("r")).collect()]
+    assert got == ["/srv/erp/files/a.pdf", "/srv/erp/private/files/b.pdf",
+                   "/srv/erp/assets/c.png", "/abs/d.pdf",
+                   "/srv/erp/files/e.pdf", "https://x.test/f.pdf"]
