@@ -940,9 +940,14 @@ SELECT text_hash, n_dups, keeper, ids FROM g WHERE n_dups > 1
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.dedup import (
+        minhash_from_hashes, shingle_hashes)
+
     docs = _docs(spark, sf_dir)
-    sig = minhash_signature(F.col("text"), k=8, n=2)
-    return docs.select(
+    hashed = docs.select(
+        "doc_id", shingle_hashes(F.col("text"), 2).alias("_h"))
+    sig = minhash_from_hashes(F.col("_h"), k=8)
+    return hashed.select(
         "doc_id",
         F.array_join(F.transform(sig, lambda x: x.cast("string")), ",")
         .alias("signature"),

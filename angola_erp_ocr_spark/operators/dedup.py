@@ -76,9 +76,15 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
-    """k-permutation MinHash: sig[i] = min over shingles of ((2i+1)h + 3i+7) % p."""
-    hashes = shingle_hashes(col, n)
+def minhash_from_hashes(hashes: Column, k: int = 16) -> Column:
+    """k-permutation MinHash over a *materialized* hash-array column:
+    sig[i] = min over shingles of ((2i+1)h + 3i+7) % p.
+
+    Callers should project the shingle hashes into a real column first
+    (`.withColumn("_h", shingle_hashes(...))`) — passing the
+    shingle-hash EXPRESSION here would inline it into every one of the k
+    lambda bodies and recompute the md5s k times per row (Catalyst does
+    not CSE across higher-order-function lambdas)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
@@ -88,6 +94,12 @@ def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
             )
         ),
     )
+
+
+def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
+    """Single-expression form (convenience; see minhash_from_hashes for
+    the two-step form used in the hot paths)."""
+    return minhash_from_hashes(shingle_hashes(col, n), k)
 
 
 def lsh_bands(sig_col: Column, bands: int = 4, rows: int = 4) -> Column:
@@ -112,12 +124,29 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     explode(bands) → bucket self-pairing via collect_list (buckets capped at
     `max_bucket` to defuse boilerplate-bucket skew) → distinct pairs.
     """
-    sig = docs.select(
+    # Explode the band index FIRST: the Generate is a projection barrier,
+    # so the shingle-hash array below it is materialized once per doc and
+    # the per-band min-hash lambdas reference it as a bound attribute.
+    # Computing the full signature array in one projection and exploding
+    # it after lets CollapseProject inline the hash expression into every
+    # lambda body — nested HOF inlining re-evaluates the tokenizer per
+    # shingle per permutation per band (measured 80ms/row vs ~0.1ms here).
+    exploded = docs.select(
         F.col(id_col).alias("id"),
-        lsh_bands(minhash_signature(F.col(text_col), k, n), bands, rows).alias("bands"),
+        shingle_hashes(F.col(text_col), n).alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     )
-    buckets = sig.select("id", F.explode("bands").alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    band_sig = F.transform(
+        F.sequence(F.col("band") * rows, F.col("band") * rows + rows - 1),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_h"),
+                lambda h: ((2 * i + 1) * h + (3 * i + 7)) % MERSENNE31,
+            )
+        ),
+    )
+    buckets = exploded.select(
+        "id", "band", F.md5(F.array_join(band_sig, ",")).alias("key")
     )
     grouped = (
         buckets.groupBy("band", "key")
