@@ -121,3 +121,28 @@ def test_sources_path_resolution(spark):
     assert got == ["/srv/erp/files/a.pdf", "/srv/erp/private/files/b.pdf",
                    "/srv/erp/assets/c.png", "/abs/d.pdf",
                    "/srv/erp/files/e.pdf", "https://x.test/f.pdf"]
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    """§2.10: the streaming ingest (foreachBatch + checkpoint) must produce
+    exactly the batch extract() output, micro-batch by micro-batch."""
+    from angola_erp_ocr_spark.streaming.incremental import stream_extract
+
+    raw, _golden, media = build_corpus(spark, 20)
+    raw = raw.select("doc_id", "spans")
+    src = str(tmp_path / "src")
+    # two files → two micro-batches (maxFilesPerTrigger defaults off; the
+    # availableNow trigger drains both)
+    raw.where(F.crc32("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    raw.where(F.crc32("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    q = stream_extract(spark, src, out, str(tmp_path / "ckpt"),
+                       media_pages=media, schema=raw.schema)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    want = extract(raw, media)
+    assert got.count() == 20
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
