@@ -1890,3 +1890,55 @@ FROM unknown u LEFT JOIN best b USING (doc_id, token)
 
 _QUERIES["p12_spellcheck"] = q_p12_spellcheck
 _ORACLES["p12_spellcheck"] = SQL_P12
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2,
+                    query_id_col="query_id")
+
+
+_SQDIST = ("list_sum(list_transform(range(1, len({a}) + 1), "
+           "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+SQL_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell, v AS cv
+  FROM c QUALIFY cell < 8),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, cent.cell,
+           row_number() OVER (PARTITION BY c.id
+             ORDER BY round({_SQDIST.format(a="c.v", b="cent.cv")}, 6),
+                      cent.cell) AS rn
+    FROM c, cent) WHERE rn = 1),
+q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 8),
+qcells AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_SQDIST.format(a="q.qv", b="cent.cv")}, 6),
+                      cent.cell) AS rn
+    FROM q, cent) WHERE rn <= 2),
+scored AS (
+  SELECT query_id, a.id AS nbr_id,
+         round(list_dot_product(a.v, qc.qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(qc.qv, qc.qv))), 6) AS cosine
+  FROM assigned a JOIN qcells qc USING (cell)
+  WHERE a.id <> qc.query_id)
+SELECT query_id, rank, nbr_id, cosine FROM (
+  SELECT query_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+_QUERIES["ivf_topk"] = q_ivf_topk
+_ORACLES["ivf_topk"] = SQL_IVF

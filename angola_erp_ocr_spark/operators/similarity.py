@@ -128,3 +128,87 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the corpus into C cells around
+# deterministic centroids; a query scores only the vectors in its n_probe
+# nearest cells. The classic trade: recall vs the fraction of the corpus
+# scanned. Here centroids are corpus vectors chosen by id order (seeded,
+# reproducible in SQL), so the whole operator is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, v, cell): each vector joins its nearest centroid (broadcast;
+    ties break on the lower centroid id — deterministic)."""
+    c = corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    cent = F.broadcast(centroids.select(
+        F.col("cell"), F.col("cv")))
+    scored = c.join(cent).select(
+        "id", "v", "cell", _sq_dist(F.col("v"), F.col("cv")).alias("d"))
+    return scored.groupBy("id", "v").agg(
+        F.min_by("cell", F.struct(F.round(F.col("d"), 6), F.col("cell")))
+        .alias("cell"))
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroids: the n_cells lowest-id corpus vectors
+    (a k-means init stand-in; any seeded refinement slots in here)."""
+    return (
+        corpus.select(F.col(id_col).alias("cid"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("cell",
+                    F.row_number().over(Window.orderBy(F.col("cid").asc())) - 1)
+        .where(F.col("cell") < n_cells)
+        .select("cell", "cv")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by cosine: scan only the query's n_probe nearest
+    cells. Equi-join on cell id — at 10^9 vectors the scan fraction is
+    n_probe/n_cells instead of 1. Ranking on the rounded cosine with an
+    id tiebreak (cross-engine deterministic, like cosine_topk)."""
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    qcells = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qv", "cell",
+                _sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("query_id")
+            .orderBy(F.round(F.col("d"), 6).asc(), F.col("cell").asc())))
+        .where(F.col("rnk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(qcells, "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("id").alias("nbr_id"),
+            F.round(dot(F.col("v"), F.col("qv"))
+                    / (norm(F.col("v")) * norm(F.col("qv"))), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cosine")
+    )

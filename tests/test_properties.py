@@ -1,0 +1,132 @@
+"""Property-based tests (SURVEY §5.4).
+
+The oracle harness assumes the P-family regex semantics are IDENTICAL in
+three dialects: Python `re` (corpus generator / golden), Java regex (the
+Spark engine) and RE2 (the DuckDB oracle). Hypothesis hammers that
+assumption with adversarial strings. Plus structural invariants: span
+permutation-invariance and extraction idempotence.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from angola_erp_ocr_spark.functions.normalize import (
+    AVOID_RE,
+    CASH_RE,
+    DATE_RE,
+    IBAN_RE,
+    normalize_col,
+    normalize_py,
+    normalize_sql,
+)
+
+_ALPHABET = "0123456789 AOKZE.q,lIsSoO-R/ÇÃ"
+_FRAGMENTS = [
+    "AOOE", "A006", "AKRZ", "AKZZ", "2q22", "1O1", "5s5", " ,", "MARÇO",
+    "JANEIRO", "DEZEMBRO", "AO06.12.345", "1.234,56", "2023/05/14",
+    "05-14-2023", "TELEF.", "PÁGINA 3", "x@y.com",
+]
+
+_text = st.lists(
+    st.one_of(st.text(alphabet=_ALPHABET, min_size=0, max_size=12),
+              st.sampled_from(_FRAGMENTS)),
+    min_size=1, max_size=6,
+).map("".join)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=30))
+def test_normalize_tri_dialect(spark, duck, texts):
+    want = [normalize_py(s) for s in texts]
+
+    sdf = spark.createDataFrame([(s,) for s in texts], ["t"])
+    got_spark = [r["n"] for r in
+                 sdf.select(normalize_col(F.col("t")).alias("n")).collect()]
+    assert got_spark == want
+
+    pdf = pd.DataFrame({"t": texts})
+    duck.register("props_t", pdf)
+    got_duck = [r[0] for r in duck.execute(
+        f"SELECT {normalize_sql('t')} FROM props_t").fetchall()]
+    duck.unregister("props_t")
+    assert got_duck == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=30))
+def test_predicates_tri_dialect(spark, duck, texts):
+    patterns = {"cash": CASH_RE, "date": DATE_RE, "iban": IBAN_RE,
+                "avoid": AVOID_RE}
+    want = {k: [bool(re.search(p, s.upper() if k == "avoid" else s))
+                for s in texts]
+            for k, p in patterns.items()}
+
+    sdf = spark.createDataFrame([(s,) for s in texts], ["t"])
+    cols = [
+        (F.upper(F.col("t")) if k == "avoid" else F.col("t"))
+        .rlike(p).alias(k)
+        for k, p in patterns.items()
+    ]
+    rows = sdf.select(*cols).collect()
+    for k in patterns:
+        assert [bool(r[k]) for r in rows] == want[k], k
+
+    pdf = pd.DataFrame({"t": texts})
+    duck.register("props_t", pdf)
+    for k, p in patterns.items():
+        expr = "upper(t)" if k == "avoid" else "t"
+        got = [bool(r[0]) for r in duck.execute(
+            f"SELECT regexp_matches({expr}, '{p}') FROM props_t").fetchall()]
+        assert got == want[k], k
+    duck.unregister("props_t")
+
+
+def test_extract_is_span_permutation_invariant(spark):
+    """Shuffling the physical order of a doc's spans array (offsets kept)
+    must not change the extraction — order comes from `offset`, never from
+    array position or partition order."""
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    raw, _golden, media = build_corpus(spark, 15)
+    rows = raw.select("doc_id", "spans").collect()
+    rng = random.Random(7)
+    permuted = []
+    for r in rows:
+        spans = list(r["spans"])
+        rng.shuffle(spans)
+        permuted.append((r["doc_id"], [s.asDict() for s in spans]))
+    praw = spark.createDataFrame(permuted, raw.select("doc_id", "spans").schema)
+
+    a = extract(raw.select("doc_id", "spans"), media)
+    b = extract(praw, media)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_extract_idempotent_rerun(spark):
+    """Two runs of the same plan produce identical tables (no partition-
+    order leakage into offsets)."""
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    raw, _g, media = build_corpus(spark, 25)
+    raw = raw.select("doc_id", "spans").repartition(7)
+    a = extract(raw, media).collect()
+    b = extract(raw.repartition(3), media).collect()
+    am = {r["doc_id"]: r["spans"] for r in a}
+    bm = {r["doc_id"]: r["spans"] for r in b}
+    assert am == bm
