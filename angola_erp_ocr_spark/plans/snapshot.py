@@ -1,0 +1,95 @@
+"""Snapshot-committed writes (Iceberg-fallback semantics, SURVEY §7.5).
+
+When the Iceberg runtime is present, `writeTo(...).append()` gives atomic
+snapshot commits for free. This module provides the same discipline over a
+plain parquet directory so the engine behaves identically in the sandbox:
+
+    table_dir/
+      data/<snapshot_id>/part-*.parquet     (written FIRST)
+      manifests/<seq>-<snapshot_id>.json    (committed SECOND — atomic
+                                             rename; its existence IS the
+                                             commit)
+
+Readers union only data directories referenced by committed manifests, so
+a job killed after writing data but before the manifest rename leaves no
+visible partial state — re-running resumes from the last committed
+snapshot via the usual anti-join (`plans.pipeline.resume_filter`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "manifests")
+
+
+def committed_snapshots(table_dir: str) -> list[dict]:
+    """Manifests in commit order (sequence-numbered)."""
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def snapshot_append(df: DataFrame, table_dir: str,
+                    run_id: str | None = None) -> dict:
+    """Write `df` as a new snapshot: data first, manifest (the commit
+    point) second via atomic rename. Returns the manifest dict."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", run_id)
+    df.write.mode("overwrite").parquet(data_dir)
+    spark = df.sparkSession
+    n_rows = spark.read.parquet(data_dir).count()
+
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    seq = len(committed_snapshots(table_dir))
+    manifest = {
+        "seq": seq,
+        "snapshot_id": run_id,
+        "data_dir": data_dir,
+        "n_rows": n_rows,
+        "committed_at_unix": int(time.time()),
+    }
+    tmp = os.path.join(_manifest_dir(table_dir), f".tmp-{run_id}.json")
+    final = os.path.join(_manifest_dir(table_dir), f"{seq:06d}-{run_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)  # the atomic commit
+    return manifest
+
+
+def read_snapshots(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """Union of all committed snapshots; None when nothing is committed.
+    Uncommitted data directories (crash between write and manifest) are
+    invisible by construction."""
+    snaps = committed_snapshots(table_dir)
+    if not snaps:
+        return None
+    return spark.read.parquet(*[s["data_dir"] for s in snaps])
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 10) -> list[str]:
+    """K5-style maintenance: drop the oldest snapshots' manifests (data
+    dirs are left for out-of-band deletion; listed in the return)."""
+    snaps = committed_snapshots(table_dir)
+    doomed = snaps[:-keep_last] if keep_last else snaps
+    dropped = []
+    for s in doomed:
+        path = os.path.join(_manifest_dir(table_dir),
+                            f"{s['seq']:06d}-{s['snapshot_id']}.json")
+        if os.path.exists(path):
+            os.remove(path)
+            dropped.append(s["data_dir"])
+    return dropped

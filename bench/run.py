@@ -46,7 +46,7 @@ def main() -> None:
     spark = SparkSession.builder.appName("extract_job").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from angola_erp_ocr_spark.plans.lineage import write_with_lineage
+    from angola_erp_ocr_spark.plans.lineage import lineage_rows
     from angola_erp_ocr_spark.plans.pipeline import extract, resume_filter
     from angola_erp_ocr_spark.synth import build_corpus
 
@@ -79,26 +79,29 @@ def main() -> None:
         }))
         return
 
-    extracted_path = f"{args.out}/documents_extracted"
-    if args.resume and os.path.exists(extracted_path):
-        committed = spark.read.parquet(extracted_path)
-        todo = resume_filter(raw, committed)
-    else:
-        todo = raw
+    from angola_erp_ocr_spark.plans.snapshot import (
+        read_snapshots, snapshot_append)
+
+    table_dir = f"{args.out}/documents_extracted"
+    committed = read_snapshots(spark, table_dir) if args.resume else None
+    todo = resume_filter(raw, committed) if committed is not None else raw
 
     n_todo = todo.count()
     run_id = uuid.uuid4().hex[:12]
     t0 = time.monotonic()
-    out = extract(todo, media)
-    if args.resume and os.path.exists(extracted_path):
-        out.write.mode("append").parquet(extracted_path)
-        spark_stats = {"appended_docs": n_todo}
-        wall = time.monotonic() - t0
+    if n_todo:
+        out = extract(todo, media)
+        manifest = snapshot_append(out, table_dir, run_id)
+        lin = lineage_rows(
+            spark.read.parquet(manifest["data_dir"]), run_id)
+        lin.write.mode("append").parquet(f"{args.out}/lineage")
+        spark_stats = {"snapshot_seq": manifest["seq"],
+                       "snapshot_rows": manifest["n_rows"]}
     else:
-        spark_stats = write_with_lineage(out, args.out, run_id)
-        wall = time.monotonic() - t0
+        spark_stats = {"snapshot_seq": None, "snapshot_rows": 0}
+    wall = time.monotonic() - t0
 
-    total = spark.read.parquet(extracted_path).count()
+    total = read_snapshots(spark, table_dir).count()
     print(json.dumps({
         "docs": n_todo,
         "total_committed": total,

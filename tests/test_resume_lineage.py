@@ -146,3 +146,51 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert got.count() == 20
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_snapshot_commit_crash_invisibility(spark, tmp_path):
+    """North rule: resume from the last committed snapshot. Data written
+    without a manifest (a crash between write and commit) must be
+    invisible; the resume anti-join then re-processes exactly those docs."""
+    from angola_erp_ocr_spark.plans.snapshot import (
+        committed_snapshots, read_snapshots, snapshot_append)
+
+    raw, _g, media = build_corpus(spark, 30)
+    raw = raw.select("doc_id", "spans")
+    table = str(tmp_path / "tbl")
+
+    full = extract(raw, media)
+    half = full.where(F.crc32("doc_id") % 2 == 0)
+    rest = full.where(F.crc32("doc_id") % 2 == 1)
+
+    # committed snapshot 0
+    m0 = snapshot_append(half, table)
+    assert m0["seq"] == 0 and m0["n_rows"] == half.count()
+
+    # simulate a crash: data written, NO manifest
+    rest.write.mode("overwrite").parquet(f"{table}/data/crashed-run")
+    committed = read_snapshots(spark, table)
+    assert committed.count() == half.count()  # crashed data invisible
+
+    # resume: anti-join finds exactly the missing docs, commit snapshot 1
+    todo = resume_filter(raw, committed)
+    assert todo.count() == 30 - half.count()
+    snapshot_append(extract(todo, media), table)
+
+    final = read_snapshots(spark, table)
+    assert final.count() == 30
+    assert final.exceptAll(full).count() == 0
+    assert len(committed_snapshots(table)) == 2
+
+
+def test_snapshot_expiry(spark, tmp_path):
+    from angola_erp_ocr_spark.plans.snapshot import (
+        committed_snapshots, expire_snapshots, snapshot_append)
+
+    df = spark.range(3).selectExpr("cast(id as string) doc_id")
+    table = str(tmp_path / "tbl")
+    for _ in range(4):
+        snapshot_append(df, table)
+    dropped = expire_snapshots(table, keep_last=2)
+    assert len(dropped) == 2
+    assert len(committed_snapshots(table)) == 2
