@@ -1942,3 +1942,31 @@ SELECT query_id, rank, nbr_id, cosine FROM (
 
 _QUERIES["ivf_topk"] = q_ivf_topk
 _ORACLES["ivf_topk"] = SQL_IVF
+
+
+def q_e2e_fields_from_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference flow (SURVEY §3.1): interleaved corpus → span
+    extraction (digital + OCR) → line table → classification + header
+    fields + items, one row per document. Rows-only; the per-operator
+    semantics are oracle-checked by l13/l14/l9 and the golden corpus."""
+    from angola_erp_ocr_spark.operators.fields import extract_fields
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    raw, _golden, media = build_corpus(spark, _GOLDEN_DOCS)
+    spans = extract(raw.select("doc_id", "spans"), media)
+    lines = spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).where(F.col("s.kind") == "text").select(
+        "doc_id", F.col("s.offset").alias("line_no"),
+        F.col("s.text").alias("text"),
+    )
+    fields = extract_fields(lines)
+    return fields.select(
+        "doc_id", "doc_class", "supplier_nif", "invoice_number",
+        "invoice_date", "currency", "country", "iban", "total_amount",
+        F.size(F.coalesce(F.col("items"), F.array())).alias("n_items"),
+    )
+
+
+_QUERIES["e2e_fields_from_extract"] = q_e2e_fields_from_extract
