@@ -205,7 +205,14 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash32(col: Column) -> Column:
     """32-bit SimHash over word tokens: bit j set iff the sum over tokens of
-    ±1 (by token-hash bit j) is ≥ 0. Pure higher-order functions."""
+    ±1 (by token-hash bit j) is ≥ 0. Pure higher-order functions.
+
+    Note: the token-hash subexpression is inlined into each of the 32
+    per-bit aggregates (Catalyst does not CSE across HOF lambdas), so the
+    md5s are computed 32×. Unlike the MinHash banding case this stays
+    linear (32 × tokens, no nesting blow-up) and benches fine; if it ever
+    dominates, apply the explode-bit-index barrier used in
+    ``minhash_lsh_pairs`` at the cost of one extra shuffle."""
     toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
     hashes = F.transform(toks, lambda t: text_hash60(t) % MERSENNE31)
     # bit j of h via floor(h / 2^j) % 2 — shift amounts must be columns
