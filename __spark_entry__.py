@@ -1970,3 +1970,35 @@ def q_e2e_fields_from_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERIES["e2e_fields_from_extract"] = q_e2e_fields_from_extract
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode plumbing (mapInPandas over binary payloads) — the
+    decoder is the clearly-marked deterministic fake (no image libs in
+    this container); the Spark-side schema/batching/fan-out is real."""
+    from angola_erp_ocr_spark.operators.multimodal import decode_images
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.format_string("image://doc/%d", F.col("doc_id")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    out = decode_images(media)
+    return out.select("media_ref", "width", "height",
+                      F.size("embedding").alias("emb_dims"))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame."""
+    from angola_erp_ocr_spark.operators.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.format_string("video://doc/%d", F.col("doc_id")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return sample_frames(media, every_n=2)
+
+
+_QUERIES["multimodal_decode"] = q_multimodal_decode
+_QUERIES["multimodal_frames"] = q_multimodal_frames
