@@ -104,6 +104,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _media_payloads(spark: SparkSession, sf_dir: str, scheme: str,
+                    repeat: int = 1) -> DataFrame:
+    """(media_ref, payload) rows derived from document texts — the shared
+    fixture for the multimodal plumbing queries."""
+    docs = _docs(spark, sf_dir)
+    text = F.repeat(F.col("text"), repeat) if repeat > 1 else F.col("text")
+    return docs.select(
+        F.format_string(scheme + "://doc/%d", F.col("doc_id")).alias("media_ref"),
+        F.encode(text, "utf-8").alias("payload"),
+    )
+
+
 # ===========================================================================
 # Flagship: the real extraction pipeline (SURVEY §3.1) with a full oracle.
 # documents.text is deterministically "spanified" into positioned lines +
@@ -1175,12 +1187,7 @@ WHERE round(list_dot_product(a.vv, b.vv)
 
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.format_string("image://doc/%d", F.col("doc_id")).alias("media_ref"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    return media_metadata(media)
+    return media_metadata(_media_payloads(spark, sf_dir, "image"))
 
 
 SQL_MULTIMODAL = """
@@ -1978,12 +1985,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     this container); the Spark-side schema/batching/fan-out is real."""
     from angola_erp_ocr_spark.operators.multimodal import decode_images
 
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.format_string("image://doc/%d", F.col("doc_id")).alias("media_ref"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    out = decode_images(media)
+    out = decode_images(_media_payloads(spark, sf_dir, "image"))
     return out.select("media_ref", "width", "height",
                       F.size("embedding").alias("emb_dims"))
 
@@ -1992,11 +1994,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame."""
     from angola_erp_ocr_spark.operators.multimodal import sample_frames
 
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.format_string("video://doc/%d", F.col("doc_id")).alias("media_ref"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
+    # repeat the text so payloads span multiple 256-byte "frames" — the
+    # multi-row fan-out is the contract under test, not just 1 row/doc
+    media = _media_payloads(spark, sf_dir, "video", repeat=8)
     return sample_frames(media, every_n=2)
 
 
