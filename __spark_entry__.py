@@ -850,23 +850,21 @@ def q_rules_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rule_variants_sql(field: str) -> str:
-    """CASE chain reproducing apply_scalar_rules' first-match precedence."""
+    """CASE chain reproducing apply_scalar_rules' first-match precedence
+    (dtype conversion applied per variant, matching the Spark side)."""
     whens = []
-    date_conv = None
     for doc_class, fld, regexp, group_idx, dtype in EXTRACTION_RULES:
         if fld != field or dtype == "table":
             continue
         pat = regexp.replace("'", "''")
         hit = f"regexp_extract_all(text, '{pat}', {group_idx})[1]"
-        whens.append(
-            f"WHEN doc_class = '{doc_class}' AND {hit} IS NOT NULL THEN {hit}")
+        value = hit
         if dtype == "date":
-            date_conv = True
-    expr = "CASE " + " ".join(whens) + " ELSE NULL END"
-    if date_conv:
-        expr = (f"strftime(coalesce(try_strptime({expr}, '%Y/%m/%d'), "
-                f"try_strptime({expr}, '%d-%m-%Y')), '%Y-%m-%d')")
-    return expr
+            value = (f"strftime(coalesce(try_strptime({hit}, '%Y/%m/%d'), "
+                     f"try_strptime({hit}, '%d-%m-%Y')), '%Y-%m-%d')")
+        whens.append(
+            f"WHEN doc_class = '{doc_class}' AND {hit} IS NOT NULL THEN {value}")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
 
 
 SQL_RULES_SCALAR = f"""
@@ -940,10 +938,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_EXACT = f"""
+SQL_DEDUP_EXACT = """
 WITH t AS (SELECT doc_id, substr(text, 1, 30) AS key FROM documents),
 g AS (
-  SELECT {_H60.format(x="key")} AS text_hash,
+  SELECT md5(key) AS text_hash,
          count(*) AS n_dups, min(doc_id) AS keeper,
          array_to_string(list_sort(list(doc_id)), ',') AS ids
   FROM t GROUP BY 1)

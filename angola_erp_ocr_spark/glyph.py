@@ -44,13 +44,28 @@ HEADER_DTYPE = np.dtype(
 _FIELDS = ("x", "y", "w", "h", "conf", "block", "par", "line", "word_idx")
 
 
+MAX_WORDS_PER_PAGE = 65535  # uint16 count — split denser pages upstream
+MAX_WORD_BYTES = 65535      # uint16 text length
+
+
 def encode_page(words: list[dict]) -> bytes:
-    """words: dicts with x,y,w,h,conf,block,par,line,word_idx,text."""
+    """words: dicts with x,y,w,h,conf,block,par,line,word_idx,text.
+
+    GG02 uses uint16 slots; exceeding them raises a clear ValueError
+    instead of a struct/numpy overflow deep in an executor — a producer
+    feeding real OCR output must split such pages (or the format moves
+    to u4 counts)."""
     n = len(words)
+    if n > MAX_WORDS_PER_PAGE:
+        raise ValueError(
+            f"GG02 page limit: {n} words > {MAX_WORDS_PER_PAGE}; split the page")
     arr = np.empty(n, dtype=HEADER_DTYPE)
     texts = []
     for i, wd in enumerate(words):
         tb = wd["text"].encode("utf-8")
+        if len(tb) > MAX_WORD_BYTES:
+            raise ValueError(
+                f"GG02 word limit: {len(tb)} bytes > {MAX_WORD_BYTES}")
         texts.append(tb)
         arr[i] = (wd["x"], wd["y"], wd["w"], wd["h"], wd["conf"],
                   wd["block"], wd["par"], wd["line"], wd["word_idx"], len(tb))

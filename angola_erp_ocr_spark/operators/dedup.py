@@ -58,8 +58,10 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_dups, keeper, dup_ids).
-    One shuffle on the 60-bit hash; keeper = min id (deterministic)."""
-    h = text_hash60(F.col(text_col)).alias("text_hash")
+    One shuffle on the full 128-bit md5 (the truncated 60-bit key would
+    produce ~4×10^5 false-duplicate pairs at 10^12 docs — deleting
+    "duplicates" that are distinct documents); keeper = min id."""
+    h = F.md5(F.col(text_col)).alias("text_hash")
     return (
         docs.select(F.col(id_col).alias("id"), h)
         .groupBy("text_hash")

@@ -43,20 +43,21 @@ def apply_scalar_rules(
                 F.regexp_extract_all(F.col(text_col), F.lit(regexp), F.lit(group_idx)),
                 F.lit(1),
             )
-            expr = F.when(
-                (F.col(class_col) == doc_class) & hit.isNotNull(), hit
-            ).otherwise(expr)
+            # dtype conversion applies to THIS variant's value only —
+            # wrapping the whole cascaded expression would re-parse (and
+            # mangle) values contributed by other variants of the field
+            value = hit
             if dtype == "date":
-                expr = F.when(
-                    expr.isNotNull(),
-                    F.date_format(
-                        F.coalesce(
-                            F.try_to_timestamp(expr, F.lit("yyyy/MM/dd")),
-                            F.try_to_timestamp(expr, F.lit("dd-MM-yyyy")),
-                        ),
-                        "yyyy-MM-dd",
+                value = F.date_format(
+                    F.coalesce(
+                        F.try_to_timestamp(hit, F.lit("yyyy/MM/dd")),
+                        F.try_to_timestamp(hit, F.lit("dd-MM-yyyy")),
                     ),
+                    "yyyy-MM-dd",
                 )
+            expr = F.when(
+                (F.col(class_col) == doc_class) & hit.isNotNull(), value
+            ).otherwise(expr)
         out = out.withColumn(field, expr)
     return out
 

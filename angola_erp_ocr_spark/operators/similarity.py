@@ -161,15 +161,21 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
 def ivf_centroids(corpus: DataFrame, n_cells: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic centroids: the n_cells lowest-id corpus vectors
-    (a k-means init stand-in; any seeded refinement slots in here)."""
-    return (
+    (a k-means init stand-in; any seeded refinement slots in here).
+
+    `orderBy().limit()` plans as TakeOrderedAndProject — a distributed
+    top-k — and only the n_cells surviving rows pass through the global
+    row_number window; a global window over the raw corpus would funnel
+    every vector through one task."""
+    small = (
         corpus.select(F.col(id_col).alias("cid"),
                       _as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("cell",
-                    F.row_number().over(Window.orderBy(F.col("cid").asc())) - 1)
-        .where(F.col("cell") < n_cells)
-        .select("cell", "cv")
+        .orderBy(F.col("cid").asc())
+        .limit(n_cells)
     )
+    return small.withColumn(
+        "cell", F.row_number().over(Window.orderBy(F.col("cid").asc())) - 1
+    ).select("cell", "cv")
 
 
 def ivf_topk(

@@ -65,11 +65,17 @@ def cascade_committed(
     retry_conf: int = RETRY_CONF_THRESHOLD,
     repeat_k: int = 3,
 ) -> DataFrame:
-    """Production shape: commit pass 1, retry the failed subset from the
-    committed table, overwrite their rows. Returns the final table."""
-    path = f"{out_dir}/documents_extracted"
-    extract(documents, media_pages, repeat_k).write.mode("overwrite").parquet(path)
-    committed = spark.read.parquet(path)
+    """Production shape: commit pass 1 as a snapshot, derive the failed
+    subset from the committed table, commit the retried docs as a second
+    snapshot. The canonical table is the latest-wins snapshot view —
+    retried rows supersede their pass-1 rows by snapshot sequence, the
+    canonical location always reflects the corrected state, and each
+    pass stays resumable/auditable on its own."""
+    from .snapshot import read_snapshots_latest, snapshot_append
+
+    table = f"{out_dir}/documents_extracted"
+    snapshot_append(extract(documents, media_pages, repeat_k), table)
+    committed = read_snapshots_latest(spark, table)
     failed_ids = committed.where(~_has_text()).select("doc_id")
     if failed_ids.isEmpty():
         return committed
@@ -77,6 +83,5 @@ def cascade_committed(
         documents.join(failed_ids, "doc_id", "left_semi"),
         media_pages, repeat_k, conf_threshold=retry_conf,
     )
-    keep = committed.join(failed_ids, "doc_id", "left_anti")
-    keep.unionByName(retried).write.mode("overwrite").parquet(f"{path}_v2")
-    return spark.read.parquet(f"{path}_v2")
+    snapshot_append(retried, table)
+    return read_snapshots_latest(spark, table)

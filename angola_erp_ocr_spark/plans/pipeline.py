@@ -190,7 +190,7 @@ def extract(documents: DataFrame, media_pages: DataFrame | None = None,
             F.col("offset").cast("int").alias("offset"),
         ).alias("span"),
     )
-    return spans.groupBy("doc_id").agg(
+    assembled = spans.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct(F.col("span.offset").alias("o"),
@@ -198,6 +198,18 @@ def extract(documents: DataFrame, media_pages: DataFrame | None = None,
             ),
             lambda e: e["s"],
         ).alias("spans")
+    )
+    # Every input document must yield an output row, even when all its
+    # candidates were filtered (empty spans array, all-boilerplate doc):
+    # dropping the doc would make resume_filter re-process it forever and
+    # would let the golden pass-rate join silently lose it from the
+    # denominator.
+    empty = "array()"
+    spans_type = ("array<struct<kind:string,text:string,"
+                  "media_ref:string,offset:int>>")
+    return documents.select("doc_id").join(assembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("spans"), F.expr(empty).cast(spans_type)).alias("spans"),
     )
 
 

@@ -54,7 +54,10 @@ def snapshot_append(df: DataFrame, table_dir: str,
     n_rows = spark.read.parquet(data_dir).count()
 
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-    seq = len(committed_snapshots(table_dir))
+    snaps = committed_snapshots(table_dir)
+    # max+1, NOT count: after expiry, count would reuse a live sequence
+    # number and corrupt the lexicographic commit order
+    seq = (max(s["seq"] for s in snaps) + 1) if snaps else 0
     manifest = {
         "seq": seq,
         "snapshot_id": run_id,
@@ -93,3 +96,31 @@ def expire_snapshots(table_dir: str, keep_last: int = 10) -> list[str]:
             os.remove(path)
             dropped.append(s["data_dir"])
     return dropped
+
+
+def read_snapshots_latest(spark: SparkSession, table_dir: str,
+                          key: str = "doc_id") -> "DataFrame | None":
+    """Latest-wins view: when the same key appears in multiple snapshots
+    (a correction/retry re-committed it), only the row from the
+    highest-sequence snapshot is visible — the MERGE-style upsert
+    semantics of the reference's DuplicateEntryError path
+    (ocr_import.py:74-75) without rewriting history."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    snaps = committed_snapshots(table_dir)
+    if not snaps:
+        return None
+    parts = [
+        spark.read.parquet(s["data_dir"]).withColumn("_seq", F.lit(s["seq"]))
+        for s in snaps
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    w = Window.partitionBy(key).orderBy(F.col("_seq").desc())
+    return (
+        union.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )

@@ -39,7 +39,11 @@ def stream_extract(
         if batch_df.isEmpty():
             return
         out = extract(batch_df, media_pages)
-        out.write.mode("append").parquet(output_dir)
+        # exactly-once: each micro-batch owns a batch_id-named directory
+        # and OVERWRITES it, so a batch replayed after a crash between
+        # the data write and the checkpoint commit replaces its own
+        # partial output instead of appending a duplicate copy
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process)

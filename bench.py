@@ -214,8 +214,12 @@ def run_scaling_protocol(corpus: str, n_docs: int,
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=3600)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"scaling run local[{ncpu}] failed (rc={proc.returncode}): "
+                f"{proc.stderr[-2000:]}")
+        r = json.loads(json_lines[-1])
         thr[ncpu] = r["docs_per_sec"]
         out[f"docs_per_sec@local[{ncpu}]"] = r["docs_per_sec"]
     out["efficiency"] = round(thr[n_big] / (thr[n_small] * (n_big / n_small)), 3)
@@ -227,7 +231,10 @@ def run_scaling_protocol(corpus: str, n_docs: int,
 def _write_bench_md(result: dict, n_small: int) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     sc = result["scaling"]
-    n_big = 4 * n_small
+    levels = sorted(
+        int(k.split("local[")[1].rstrip("]"))
+        for k in sc if k.startswith("docs_per_sec@local["))
+    n_small, n_big = levels[0], levels[-1]
     small_v = sc[f"docs_per_sec@local[{n_small}]"]
     big_v = sc[f"docs_per_sec@local[{n_big}]"]
     lines = [

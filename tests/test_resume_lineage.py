@@ -141,7 +141,9 @@ def test_stream_extract_matches_batch(spark, tmp_path):
                        media_pages=media, schema=raw.schema)
     q.awaitTermination(180)
 
-    got = spark.read.parquet(out)
+    # each micro-batch owns a batch_id=<n> directory (idempotent replay);
+    # the partition column is metadata, not payload
+    got = spark.read.parquet(out).drop("batch_id")
     want = extract(raw, media)
     assert got.count() == 20
     assert got.exceptAll(want).count() == 0
@@ -194,3 +196,54 @@ def test_snapshot_expiry(spark, tmp_path):
     dropped = expire_snapshots(table, keep_last=2)
     assert len(dropped) == 2
     assert len(committed_snapshots(table)) == 2
+
+
+def test_extract_emits_empty_docs(spark):
+    """A doc whose candidates are all filtered (boilerplate-only) or whose
+    spans are empty must still appear in the output with spans=[] — else
+    resume re-processes it forever and pass-rate joins lose it silently."""
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW
+
+    docs = spark.createDataFrame(
+        [("empty", None, []),
+         ("furniture", None, [("text", "10,10|TELEF. 222-333-444", None, 0),
+                              ("text", "10,20|PÁGINA 1", None, 1)]),
+         ("real", None, [("text", "10,10|CONTEUDO UTIL", None, 0)])],
+        DOCUMENTS_RAW).select("doc_id", "spans")
+    out = {r["doc_id"]: r["spans"] for r in extract(docs, None).collect()}
+    assert set(out) == {"empty", "furniture", "real"}
+    assert out["empty"] == []
+    assert out["furniture"] == []
+    assert [s["text"] for s in out["real"]] == ["CONTEUDO UTIL"]
+    # and resume treats them as done
+    committed = extract(docs, None)
+    assert resume_filter(docs, committed).count() == 0
+
+
+def test_snapshot_seq_after_expiry(spark, tmp_path):
+    from angola_erp_ocr_spark.plans.snapshot import (
+        committed_snapshots, expire_snapshots, snapshot_append)
+
+    df = spark.range(2).selectExpr("cast(id as string) doc_id")
+    table = str(tmp_path / "tbl")
+    for _ in range(3):
+        snapshot_append(df, table)
+    expire_snapshots(table, keep_last=1)        # drops seq 0,1; keeps 2
+    m = snapshot_append(df, table)
+    assert m["seq"] == 3                        # max+1, not count (=2)
+    seqs = [s["seq"] for s in committed_snapshots(table)]
+    assert seqs == sorted(seqs) == [2, 3]
+
+
+def test_read_snapshots_latest_wins(spark, tmp_path):
+    from angola_erp_ocr_spark.plans.snapshot import (
+        read_snapshots_latest, snapshot_append)
+
+    table = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([("a", 1), ("b", 1)], ["doc_id", "v"])
+    v2 = spark.createDataFrame([("b", 2)], ["doc_id", "v"])
+    snapshot_append(v1, table)
+    snapshot_append(v2, table)
+    got = {r["doc_id"]: r["v"]
+           for r in read_snapshots_latest(spark, table).collect()}
+    assert got == {"a": 1, "b": 2}
