@@ -207,9 +207,16 @@ def extract(documents: DataFrame, media_pages: DataFrame | None = None,
     empty = "array()"
     spans_type = ("array<struct<kind:string,text:string,"
                   "media_ref:string,offset:int>>")
-    return documents.select("doc_id").join(assembled, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("spans"), F.expr(empty).cast(spans_type)).alias("spans"),
+    # shuffle-hash, not sort-merge: both sides are (or become) partitioned
+    # by doc_id and the hash build avoids sorting the assembled arrays
+    return (
+        documents.select("doc_id")
+        .join(assembled.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("spans"), F.expr(empty).cast(spans_type))
+            .alias("spans"),
+        )
     )
 
 
