@@ -660,12 +660,17 @@ FROM lines
 # ===========================================================================
 
 def _invoice_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """9 deterministic invoice lines per doc (series/NIF/date/currency/IBAN/
-    total + the VALOR PAGO next-line marker for doc_id%3==0)."""
+    """12 deterministic invoice lines per doc: an avoid-word line, a
+    supplier-name line (leading '/'), an address line, then series/NIF/
+    date/currency/IBAN/total + the VALOR PAGO next-line marker for
+    doc_id%3==0)."""
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id")
     amt = F.format_string("%d.%03d,%02d", 1 + d % 90, (d * 7) % 1000, d % 100)
     lines = F.array(
+        F.lit("Original"),
+        F.format_string("/EMPRESA %03d LDA", d % 500),
+        F.format_string("RUA DA MISSAO N %d LUANDA", d % 99),
         F.lit("TAX INVOICE"),
         F.when(d % 3 == 0, F.lit("RECIBO")).otherwise(F.lit("INVOICE NUMBER")),
         F.format_string("FT AB%02d 2023/%d", d % 97, 100 + d % 900),
@@ -688,6 +693,9 @@ _INVOICE_LINES_SQL = """
   SELECT doc_id, CAST(u.i AS INT) AS line_no, l[u.i + 1] AS text
   FROM (
     SELECT doc_id, [
+      'Original',
+      printf('/EMPRESA %03d LDA', doc_id % 500),
+      printf('RUA DA MISSAO N %d LUANDA', doc_id % 99),
       'TAX INVOICE',
       CASE WHEN doc_id % 3 = 0 THEN 'RECIBO' ELSE 'INVOICE NUMBER' END,
       printf('FT AB%02d 2023/%d', doc_id % 97, 100 + doc_id % 900),
@@ -709,10 +717,28 @@ _INVOICE_LINES_SQL = """
 """
 
 
+def _taxpayers_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 registry dim: every 4th doc's NIF has an authoritative company
+    name that must overwrite the scraped supplier (api/util.py:212-219)."""
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).where(d % 4 == 0).select(
+        F.format_string("54%08d", (d * 977) % 100000000).alias("nif"),
+        F.format_string("EMPRESA %d OFICIAL SA", d % 500).alias("company_name"),
+    )
+
+
+_TAXPAYERS_SQL = """
+  SELECT printf('54%08d', (doc_id * 977) % 100000000) AS nif,
+         printf('EMPRESA %d OFICIAL SA', doc_id % 500) AS company_name
+  FROM documents WHERE doc_id % 4 = 0
+"""
+
+
 def q_l13_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = _invoice_lines(spark, sf_dir)
-    out = extract_header_fields(lines)
-    return out.select("doc_id", "invoice_number", "supplier_nif", "invoice_date",
+    out = extract_header_fields(lines, _taxpayers_dim(spark, sf_dir))
+    return out.select("doc_id", "supplier", "supplier_address",
+                      "invoice_number", "supplier_nif", "invoice_date",
                       "currency", "country", "iban", "total_amount")
 
 
@@ -724,6 +750,12 @@ led AS (
   FROM lines),
 cand AS (
   SELECT doc_id, line_no,
+    CASE WHEN trim(text) <> '' AND NOT list_has_any(
+             string_split(trim(text), ' '),
+             ['Original', '2!Via', '2ºVia', 'Duplicado'])
+         THEN regexp_replace(trim(text), '^/', '') END AS c_supplier,
+    CASE WHEN list_has_any(string_split(trim(text), ' '), ['RUA', 'AVENIDA'])
+         THEN trim(text) END AS c_supplier_address,
     nullif(regexp_extract(text, '({SERIES_RE})', 1), '') AS c_invoice_number,
     coalesce(
       nullif(regexp_extract(text, 'NIF[: ]+(\\d{{10}})', 1), ''),
@@ -743,6 +775,10 @@ cand AS (
   FROM led),
 agg AS (
   SELECT doc_id,
+    arg_min(c_supplier, line_no) FILTER (c_supplier IS NOT NULL)
+      AS supplier_scraped,
+    arg_min(c_supplier_address, line_no) FILTER (c_supplier_address IS NOT NULL)
+      AS supplier_address,
     arg_min(c_invoice_number, line_no) FILTER (c_invoice_number IS NOT NULL)
       AS invoice_number0,
     arg_min(c_supplier_nif, line_no) FILTER (c_supplier_nif IS NOT NULL)
@@ -754,8 +790,11 @@ agg AS (
     arg_min(c_total_direct, line_no) FILTER (c_total_direct IS NOT NULL)
       AS total_direct,
     arg_min(c_next_value, line_no) FILTER (c_next_value IS NOT NULL) AS next_value
-  FROM cand GROUP BY doc_id)
+  FROM cand GROUP BY doc_id),
+tp AS ({_TAXPAYERS_SQL})
 SELECT doc_id,
+  coalesce(tp.company_name, supplier_scraped) AS supplier,
+  supplier_address,
   coalesce(invoice_number0,
            CASE WHEN regexp_matches(next_value, '{SERIES_RE}')
                 THEN next_value END) AS invoice_number,
@@ -767,7 +806,7 @@ SELECT doc_id,
   coalesce(total_direct,
            nullif(regexp_extract(next_value, '({CASH_RE})', 1), ''))
     AS total_amount
-FROM agg
+FROM agg LEFT JOIN tp ON agg.supplier_nif = tp.nif
 """
 
 
@@ -1162,25 +1201,58 @@ SELECT query_id, rank, nbr_id, cosine FROM r WHERE rank <= 5
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default (label-free) blocking: banded random-hyperplane LSH — the
+    join is an equi-join on (band, band_val), never a cross join. The
+    oracle reconstructs the identical md5-derived planes in SQL."""
     from angola_erp_ocr_spark.operators.dedup import embedding_near_dups
 
     emb = _emb(spark, sf_dir)
-    return embedding_near_dups(emb, threshold=0.3, block_col="label")
+    return embedding_near_dups(emb, threshold=0.3, n_planes=16, band_bits=4)
 
 
-SQL_EMB_NEAR_DUPS = """
-WITH v AS (
-  SELECT vec_id AS id, label AS blk,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-  FROM embeddings)
-SELECT a.id AS id_a, b.id AS id_b,
-       round(list_dot_product(a.vv, b.vv)
-             / (sqrt(list_dot_product(a.vv, a.vv))
-                * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
-FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
-WHERE round(list_dot_product(a.vv, b.vv)
-      / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))),
-      6) >= 0.3
+def _planes_sql(n_planes: int, dims: int) -> str:
+    """DuckDB twin of similarity._plane_component: deterministic planes."""
+    comp = (f"((('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT"
+            f" % 2000001) / 1000000.0 - 1.0)")
+    return f"""
+  SELECT p, list_transform(range(0, {dims}), d -> {comp}) AS pv
+  FROM (SELECT unnest(range(0, {n_planes})) AS p)
+"""
+
+
+def _hyperplane_sig_sql(vec_cte: str, n_planes: int, dims: int) -> str:
+    """Signature per id: bit p = sign(round(v · plane_p, 6))."""
+    return f"""
+  SELECT id, CAST(sum(CASE WHEN round(list_dot_product(v, pv), 6) >= 0
+                           THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM {vec_cte}, planes GROUP BY id
+"""
+
+
+SQL_EMB_NEAR_DUPS = f"""
+WITH planes AS ({_planes_sql(16, 64)}),
+v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings),
+sigs AS (
+  SELECT id, CAST(sum(CASE WHEN round(list_dot_product(vv, pv), 6) >= 0
+                           THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM v, planes GROUP BY id),
+bands AS (
+  SELECT v.id, v.vv, u.b AS band,
+         (s.sig // CAST(power(2, u.b * 4) AS BIGINT)) % 16 AS blk
+  FROM v JOIN sigs s USING (id), UNNEST(range(0, 4)) AS u(b)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.vv, b.vv)
+               / (sqrt(list_dot_product(a.vv, a.vv))
+                  * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.blk = b.blk AND a.id < b.id)
+SELECT id_a, id_b, min(cosine) AS cosine
+FROM pairs WHERE cosine >= 0.3 GROUP BY id_a, id_b
 """
 
 
@@ -1324,16 +1396,20 @@ QUALIFY rank <= 10
 
 def q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # Explicit BIGINT on every aggregate: DuckDB's sum()/count(DISTINCT)
+    # return HUGEINT/INT128, which the driver's value-hash normalizes
+    # differently from Spark's long (the one red row in CORRECTNESS_r01).
     return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.countDistinct("lang").alias("n_langs"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
     )
 
 
 SQL_DOCS_BY_SOURCE = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-       count(DISTINCT lang) AS n_langs
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM documents GROUP BY source
 """
 
@@ -1968,7 +2044,8 @@ def q_e2e_fields_from_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fields = extract_fields(lines)
     return fields.select(
-        "doc_id", "doc_class", "supplier_nif", "invoice_number",
+        "doc_id", "doc_class", "supplier", "supplier_address",
+        "supplier_nif", "invoice_number",
         "invoice_date", "currency", "country", "iban", "total_amount",
         F.size(F.coalesce(F.col("items"), F.array())).alias("n_items"),
     )
@@ -2000,3 +2077,203 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["multimodal_decode"] = q_multimodal_decode
 _QUERIES["multimodal_frames"] = q_multimodal_frames
+
+
+# ===========================================================================
+# Round 2: scale-safe SimHash pairing, end-to-end near-dup groups
+# (LSH → Jaccard verify → connected components), ANN-LSH oracle,
+# table-grid extraction (I8), QR decode (I10).
+# ===========================================================================
+
+def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 families × 2 variants: identical texts within (family, variant)
+    give hamming-0 pairs; the variants differ by one token."""
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("relatorio mensal operacoes cliente fam"),
+        (d % 50).cast("string"),
+        F.lit(" seccao norte"),
+        F.when((d / 50).cast("int") % 2 == 1, F.lit(" sul")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+_SIMHASH_DOCS_SQL = """
+  SELECT doc_id,
+         'relatorio mensal operacoes cliente fam'
+           || CAST(doc_id % 50 AS VARCHAR) || ' seccao norte'
+           || CASE WHEN CAST(doc_id // 50 AS INT) % 2 = 1
+                   THEN ' sul' ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_simhash_docs(spark, sf_dir), max_hamming=3)
+
+
+# the simhash computation is SQL_SIMHASH's body over the constructed corpus
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH docs3 AS ({_SIMHASH_DOCS_SQL}),
+tk AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM docs3),
+h AS (
+  SELECT doc_id,
+         unnest(list_transform(t, tok -> {_H60.format(x="tok")} % {P31})) AS hv
+  FROM tk),
+bits AS (
+  SELECT doc_id, u.j,
+         sum(CASE WHEN (hv // CAST(power(2, u.j) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, 32)) AS j) u
+  GROUP BY doc_id, u.j),
+shv AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sh
+  FROM bits GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sh, u.b AS band,
+         (sh // CAST(power(2, u.b * 8) AS BIGINT)) % 256 AS band_val
+  FROM shv, UNNEST(range(0, 4)) AS u(b)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, min(hamming) AS hamming
+FROM pairs WHERE hamming <= 3 GROUP BY id_a, id_b
+"""
+
+
+def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-token families: tokens [pos..pos+7] of family fam — adjacent
+    pos share 5/7 trigram shingles (J≈0.714), pos+2 exactly 0.5, pos+3
+    below threshold: a transitive chain per family."""
+    d = F.col("doc_id")
+    fam = d % 60
+    pos = (d / 60).cast("int")
+    toks = [F.format_string("t%d_%d", fam, pos + F.lit(j)) for j in range(8)]
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws(" ", *toks).alias("text"))
+
+
+_NEARDUP_DOCS_SQL = """
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 8),
+           j -> printf('t%d_%d', doc_id % 60, doc_id // 60 + j)), ' ') AS text
+  FROM documents
+"""
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.dedup import neardup_groups
+
+    return neardup_groups(_neardup_docs(spark, sf_dir),
+                          k=16, n=3, bands=8, rows=2, threshold=0.5)
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE docs4 AS ({_NEARDUP_DOCS_SQL}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(tk) - 3, 0) + 1),
+           i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM docs4)),
+hs AS (
+  SELECT doc_id, list_transform(sh, s -> {_H60.format(x="s")} % {P31}) AS hv
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(hv,
+                  h -> ((2 * i + 1) * h + (3 * i + 7)) % {P31}))) AS s
+  FROM hs),
+buckets AS (
+  SELECT doc_id, CAST(u.b AS INT) AS band,
+         md5(array_to_string(list_slice(s, u.b * 2 + 1, u.b * 2 + 2), ',')) AS key
+  FROM sig, UNNEST(range(0, 8)) AS u(b)),
+ok AS (
+  SELECT band, key FROM buckets GROUP BY band, key
+  HAVING count(*) > 1 AND count(*) <= 1000),
+pb AS (SELECT b.* FROM buckets b JOIN ok USING (band, key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pb a JOIN pb b USING (band, key)
+  WHERE a.doc_id < b.doc_id),
+ver AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b)
+  WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM ver),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+SELECT component_id, min(id) AS keeper,
+       array_to_string(list_sort(list(id)), ',') AS members,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY component_id
+"""
+
+
+SQL_ANN_LSH = f"""
+WITH planes AS ({_planes_sql(10, 64)}),
+c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sigs AS (
+  SELECT id, CAST(sum(CASE WHEN round(list_dot_product(v, pv), 6) >= 0
+                           THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM c, planes GROUP BY id),
+corpus AS (SELECT c.id AS nbr_id, c.v AS cv, s.bucket
+           FROM c JOIN sigs s USING (id)),
+q AS (SELECT c.id AS query_id, c.v AS qv, s.bucket AS qbucket
+      FROM c JOIN sigs s USING (id) WHERE c.id < 8),
+qx AS (
+  SELECT query_id, qv, u.b AS bucket
+  FROM q, UNNEST([{", ".join(["qbucket"]
+                             + [f"xor(qbucket, {1 << p})" for p in range(10)])}])
+       AS u(b)),
+scored AS (
+  SELECT DISTINCT query_id, nbr_id,
+         round(list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+  FROM corpus JOIN qx USING (bucket)
+  WHERE nbr_id <> query_id)
+SELECT query_id, rank, nbr_id, cosine FROM (
+  SELECT query_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+_QUERIES.update({
+    "simhash_near_dups": q_simhash_near_dups,
+    "dedup_groups": q_dedup_groups,
+})
+_ORACLES.update({
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    "dedup_groups": SQL_DEDUP_GROUPS,
+    "embedding_near_dups": SQL_EMB_NEAR_DUPS,
+    "ann_topk_lsh": SQL_ANN_LSH,
+})

@@ -47,14 +47,32 @@ _FIELDS = ("x", "y", "w", "h", "conf", "block", "par", "line", "word_idx")
 MAX_WORDS_PER_PAGE = 65535  # uint16 count — split denser pages upstream
 MAX_WORD_BYTES = 65535      # uint16 text length
 
+# Tesseract emits conf=-1 for non-word rows (block/par/line separators,
+# util/ocr_pdf.py:231 drops them). GG02's conf slot is unsigned, so -1 is
+# encoded as the reserved value 255; `conf_signed` maps it back on decode.
+# Real confidences are 0..100; anything else is a producer bug and raises
+# here instead of wrapping silently in the numpy uint8 assignment.
+CONF_NOWORD = 255
+
+_U16_FIELDS = ("x", "y", "w", "h", "word_idx")
+_U8_FIELDS = ("block", "par", "line")
+
+
+def conf_signed(conf: np.ndarray) -> np.ndarray:
+    """Decoded uint8 conf column → int32 with the -1 sentinel restored."""
+    c = conf.astype(np.int32)
+    c[c == CONF_NOWORD] = -1
+    return c
+
 
 def encode_page(words: list[dict]) -> bytes:
     """words: dicts with x,y,w,h,conf,block,par,line,word_idx,text.
 
-    GG02 uses uint16 slots; exceeding them raises a clear ValueError
-    instead of a struct/numpy overflow deep in an executor — a producer
-    feeding real OCR output must split such pages (or the format moves
-    to u4 counts)."""
+    GG02 uses uint16/uint8 slots; every field is range-checked so a
+    producer bug raises a clear ValueError instead of a numpy wraparound
+    deep in an executor (conf=-1 silently became 255 — a "readable" word —
+    before this check). A producer feeding real OCR output must split
+    over-limit pages (or the format moves to u4 counts)."""
     n = len(words)
     if n > MAX_WORDS_PER_PAGE:
         raise ValueError(
@@ -66,8 +84,22 @@ def encode_page(words: list[dict]) -> bytes:
         if len(tb) > MAX_WORD_BYTES:
             raise ValueError(
                 f"GG02 word limit: {len(tb)} bytes > {MAX_WORD_BYTES}")
+        for f in _U16_FIELDS:
+            v = int(wd[f])
+            if not 0 <= v <= 65535:
+                raise ValueError(f"GG02 field {f}={v} outside uint16 range")
+        for f in _U8_FIELDS:
+            v = int(wd[f])
+            if not 0 <= v <= 255:
+                raise ValueError(f"GG02 field {f}={v} outside uint8 range")
+        conf = int(wd["conf"])
+        if conf == -1:
+            conf = CONF_NOWORD
+        elif not 0 <= conf <= 100:  # Tesseract confidence range
+            raise ValueError(
+                f"GG02 conf={conf} not in -1..100 (255 reserved for -1)")
         texts.append(tb)
-        arr[i] = (wd["x"], wd["y"], wd["w"], wd["h"], wd["conf"],
+        arr[i] = (wd["x"], wd["y"], wd["w"], wd["h"], conf,
                   wd["block"], wd["par"], wd["line"], wd["word_idx"], len(tb))
     return _HDR.pack(MAGIC, n) + arr.tobytes() + b"".join(texts)
 
@@ -97,9 +129,11 @@ def decode_page_columns(blob: bytes) -> tuple[np.ndarray, list[str]]:
 
 
 def decode_page(blob: bytes) -> list[dict]:
-    """Row-oriented decode (unit tests / debugging)."""
+    """Row-oriented decode (unit tests / debugging); conf sentinel restored."""
     hdr, texts = decode_page_columns(blob)
+    conf = conf_signed(hdr["conf"])
     return [
-        {**{f: int(hdr[f][i]) for f in _FIELDS}, "text": texts[i]}
+        {**{f: int(hdr[f][i]) for f in _FIELDS if f != "conf"},
+         "conf": int(conf[i]), "text": texts[i]}
         for i in range(len(texts))
     ]

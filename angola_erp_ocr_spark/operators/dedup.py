@@ -79,14 +79,19 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def minhash_from_hashes(hashes: Column, k: int = 16) -> Column:
-    """k-permutation MinHash over a *materialized* hash-array column:
+    """k-permutation MinHash over a hash-array column:
     sig[i] = min over shingles of ((2i+1)h + 3i+7) % p.
 
-    Callers should project the shingle hashes into a real column first
-    (`.withColumn("_h", shingle_hashes(...))`) — passing the
-    shingle-hash EXPRESSION here would inline it into every one of the k
-    lambda bodies and recompute the md5s k times per row (Catalyst does
-    not CSE across higher-order-function lambdas)."""
+    CAUTION: aliasing the shingle hashes into a column first
+    (`.withColumn("_h", shingle_hashes(...))`) does NOT stop the k-fold
+    recomputation — CollapseProject re-inlines the aliased expression into
+    every lambda body, and Catalyst does not CSE across higher-order-
+    function lambdas. Only a real projection BARRIER between the hash
+    computation and this call (an explode/Generate as in
+    ``minhash_lsh_pairs``, or a repartition/localCheckpoint) materializes
+    the hashes once. For one-shot signatures at modest k the inline
+    recompute is acceptable; for the banded hot path use
+    ``minhash_lsh_pairs``'s explode-first shape."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
@@ -239,13 +244,32 @@ def simhash32(col: Column) -> Column:
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Pairs whose SimHash Hamming distance ≤ max_hamming. Blocks on the
-    high 16 bits first (near-dups almost always share them) so the join is
-    an equi-join, not a cross product."""
+    """Pairs whose SimHash Hamming distance ≤ max_hamming — LOSSLESS banded
+    blocking via the pigeonhole principle: split the 32-bit hash into
+    (max_hamming + 1) bands; ≤ max_hamming differing bits can touch at most
+    max_hamming bands, so every qualifying pair agrees on ≥ 1 full band.
+    The self-join is an equi-join on (band, band_val); the 4 band joins are
+    one exploded join, and a pair matching in several bands dedupes via
+    groupBy on the pair key.
+
+    (Replaces the round-1 high-16-bit block, which both missed pairs
+    differing in the high half — recall loss — and concentrated the corpus
+    into 2^16 mega-blocks at 10^12 docs. Bands keep recall exact AND give
+    2^8-granular blocks whose skew AQE can split.)
+    """
+    n_bands = max_hamming + 1
+    width = (32 + n_bands - 1) // n_bands  # 8 bits for the default h=3
     s = docs.select(F.col(id_col).alias("id"),
                     simhash32(F.col(text_col)).alias("sh"))
-    s = s.withColumn("blk", F.shiftright(F.col("sh"), 16))
-    a, b = s.alias("a"), s.alias("b")
+    exploded = s.select(
+        "id", "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.floor(F.col("sh") / F.pow(F.lit(2.0), F.col("band") * width))
+        .cast("bigint") % (1 << width),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     hamming = F.aggregate(
         F.sequence(F.lit(0), F.lit(31)),
@@ -253,10 +277,115 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
         lambda acc, j: acc + (F.floor(xor / F.pow(F.lit(2.0), j)) % 2).cast("int"),
     )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dup groups: LSH candidates → exact Jaccard verify →
+# connected components → keeper election. This is the shape every real
+# training-data dedup ends with ("keep one per component") — the reference
+# has no analogue because it never dedups; the scale path is the LSH
+# bucket join (never all-pairs), the verify join touches only candidates.
+# ---------------------------------------------------------------------------
+
+def verify_candidates(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over the CANDIDATE pairs only (the scale-safe
+    companion to the O(N²) ``jaccard_pairs``): join the pair list against
+    the shingle table twice, compute Jaccard, keep ≥ threshold."""
+    s = docs.select(F.col(id_col).alias("id"),
+                    shingles(F.col(text_col), n).alias("sh"))
+    j = (
+        pairs.join(s.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+        .join(s.select(F.col("id").alias("id_b"),
+                       F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(id, component) for every node in the pair graph; component = the
+    minimum id reachable from the node. Iterative min-label propagation
+    with an early-exit convergence check; ``localCheckpoint`` truncates
+    the lineage each round so the plan doesn't grow exponentially.
+
+    Rounds needed = graph diameter ≤ max_iters; near-dup components are
+    shallow (dup clusters, not long chains), so a handful of rounds
+    suffices. At extreme diameters the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce") halves rounds
+    to O(log n); this simple propagation keeps the per-round cost to one
+    shuffle join + one aggregation and is deterministic."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # neighbour minimum, then min with own label
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"),
+                        F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                .alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                 < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def neardup_groups(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 16, n: int = 3,
+                   bands: int = 4, rows: int = 4, max_bucket: int = 1000,
+                   threshold: float = 0.5, max_iters: int = 20) -> DataFrame:
+    """The full near-dup dedup: (component_id, keeper, members, n_members),
+    one row per group of ≥ 2 verified near-duplicates. keeper = min id
+    (same election as ``exact_duplicates``); members is the sorted
+    comma-joined id list (driver-hashable)."""
+    cand = minhash_lsh_pairs(docs, id_col, text_col, k, n, bands, rows,
+                             max_bucket)
+    verified = verify_candidates(docs, cand, id_col, text_col, n, threshold)
+    comp = connected_components(verified, max_iters)
+    return (
+        comp.groupBy(F.col("comp").alias("component_id"))
+        .agg(
+            F.min("id").alias("keeper"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("id")),
+                            lambda x: x.cast("string")), ",").alias("members"),
+            F.count("*").cast("long").alias("n_members"),
+        )
     )
 
 
@@ -267,16 +396,52 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        block_col: str | None = "label") -> DataFrame:
-    """Pairs with cosine similarity ≥ threshold. Optional blocking column
-    turns the cross join into an equi-join (at scale: LSH/IVF buckets)."""
+                        block_col: str | None = None,
+                        n_planes: int = 16, band_bits: int = 4,
+                        dims: int = 64) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold.
+
+    Blocking — the move that keeps this an equi-join instead of a
+    broadcast-nested-loop cross join at 10^9+ vectors:
+
+      * ``block_col`` given → equi-join on that column (a precomputed IVF
+        cell, a shard key, …; exact within blocks).
+      * default (None) → banded random-hyperplane LSH: each vector's
+        ``n_planes``-bit signature (deterministic md5-derived planes,
+        see ``similarity.hyperplane_signature``) splits into
+        n_planes/band_bits bands; candidates share ≥ 1 full band value.
+        At cosine 0.95 (θ≈18°, per-plane agreement ≈ 0.9) recall is
+        1-(1-0.9^4)^4 ≈ 0.986 with the defaults. Approximate by design;
+        the exact-within-blocks guarantee of the old label blocking
+        required a label real corpora don't have.
+    """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    s = emb.select(F.col(id_col).alias("id"), v.alias("v"),
-                   *( [F.col(block_col).alias("blk")] if block_col else []))
-    a, b = s.alias("a"), s.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
     if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        s = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                       F.col(block_col).alias("blk"))
+        exploded = s.withColumn("band", F.lit(0))  # single pseudo-band
+        join_keys = ["blk"]
+    else:
+        from .similarity import hyperplane_signature
+
+        n_bands = n_planes // band_bits
+        s = emb.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+            "sig", hyperplane_signature(F.col("v"), n_planes, dims))
+        # the explode's Generate is a projection barrier: sig (n_planes
+        # dot products) is computed once per row, not once per band
+        exploded = s.select(
+            "id", "v", "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        ).withColumn(
+            "blk",
+            F.floor(F.col("sig") / F.pow(F.lit(2.0), F.col("band") * band_bits))
+            .cast("bigint") % (1 << band_bits),
+        ).drop("sig")
+        join_keys = ["band", "blk"]
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for kcol in join_keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -287,4 +452,6 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.round(dot / (na * nb), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+        .groupBy("id_a", "id_b")           # a pair can match in >1 band
+        .agg(F.min("cosine").alias("cosine"))
     )

@@ -32,6 +32,12 @@ CURRENCY_COUNTRY = [
     ("USD", "United States"), ("EUR", "European Union"),
 ]
 
+# Supplier-name heuristic word lists (api/util.py:172-199): a line whose
+# tokens hit `evitapalavras` can't be the company name; a line containing
+# RUA/AVENIDA is the address.
+SUPPLIER_AVOID_WORDS = ["Original", "2!Via", "2ºVia", "Duplicado"]
+ADDRESS_WORDS = ["RUA", "AVENIDA"]
+
 
 def classify_doc(lines: DataFrame) -> DataFrame:
     """L14: keyword-routing cascade → (doc_id, doc_class).
@@ -62,17 +68,34 @@ def _extracted(text: Column, pattern: str, group: int = 0) -> Column:
     return F.when(got != "", got)
 
 
-def extract_header_fields(lines: DataFrame) -> DataFrame:
+def extract_header_fields(lines: DataFrame,
+                          taxpayers: DataFrame | None = None) -> DataFrame:
     """All header fields in ONE aggregation pass per doc (L13).
 
     Lookahead fields (VALOR PAGO / INVOICE NUMBER markers consume the next
     line, L11) are lead() columns computed before the aggregation.
+
+    Supplier name (api/util.py:164-185): the first non-empty line whose
+    tokens avoid `evitapalavras` ('Original', '2!Via', '2ºVia',
+    'Duplicado'), with a leading '/' stripped. Supplier address
+    (api/util.py:187-199): the first line containing RUA or AVENIDA.
+    When a ``taxpayers(nif, company_name)`` dim is given, the authoritative
+    registry name overwrites the scraped supplier (the validar_nif
+    enrichment, api/util.py:212-219 — J2 as a broadcast join).
     """
     t = F.col("text")
+    toks = F.split(F.trim(t), " ")
+    has_avoid = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in SUPPLIER_AVOID_WORDS]))
+    has_addr = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in ADDRESS_WORDS]))
     led = with_next_line(lines, ["doc_id"])
     cand = led.select(
         "doc_id",
         "line_no",
+        F.when((F.trim(t) != "") & ~has_avoid,
+               F.regexp_replace(F.trim(t), "^/", "")).alias("c_supplier"),
+        F.when(has_addr, F.trim(t)).alias("c_supplier_address"),
         _extracted(t, f"({SERIES_RE})").alias("c_invoice_number"),
         F.coalesce(
             _extracted(t, NIF_LABELED_RE, 1),
@@ -92,6 +115,8 @@ def extract_header_fields(lines: DataFrame) -> DataFrame:
         ).alias("c_next_value"),
     )
     agg = cand.groupBy("doc_id").agg(
+        _first(F.col("c_supplier")).alias("supplier_scraped"),
+        _first(F.col("c_supplier_address")).alias("supplier_address"),
         _first(F.col("c_invoice_number")).alias("invoice_number"),
         _first(F.col("c_supplier_nif")).alias("supplier_nif"),
         _first(F.col("c_invoice_date")).alias("invoice_date"),
@@ -104,6 +129,20 @@ def extract_header_fields(lines: DataFrame) -> DataFrame:
     currency_dim = lines.sparkSession.createDataFrame(
         CURRENCY_COUNTRY, ["currency", "country"]
     )
+    if taxpayers is not None:
+        # NIF-enrichment overwrite (api/util.py:212-219): registry name wins
+        dim = taxpayers.select(F.col("nif").alias("supplier_nif"),
+                               F.col("company_name"))
+        agg = (
+            agg.join(F.broadcast(dim), "supplier_nif", "left")
+            .withColumn("supplier",
+                        F.coalesce(F.col("company_name"),
+                                   F.col("supplier_scraped")))
+            .drop("company_name")
+        )
+    else:
+        agg = agg.withColumn("supplier", F.col("supplier_scraped"))
+    agg = agg.drop("supplier_scraped")
     return (
         agg.withColumn(
             "total_amount",
@@ -171,16 +210,18 @@ def extract_items(lines: DataFrame) -> DataFrame:
     )
 
 
-def extract_fields(lines: DataFrame) -> DataFrame:
+def extract_fields(lines: DataFrame,
+                   taxpayers: DataFrame | None = None) -> DataFrame:
     """Full D7 record: classification + header fields + items, one row/doc."""
     cls = classify_doc(lines)
-    hdr = extract_header_fields(lines)
+    hdr = extract_header_fields(lines, taxpayers)
     items = extract_items(lines)
     return (
         cls.join(hdr, "doc_id", "left")
         .join(items, "doc_id", "left")
         .select(
-            "doc_id", "doc_class", "supplier_nif", "invoice_number",
+            "doc_id", "doc_class", "supplier", "supplier_address",
+            "supplier_nif", "invoice_number",
             "invoice_date", "currency", "country", "iban", "total_amount",
             "items",
         )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 import numpy as np
 
-from ..glyph import decode_page_columns
+from ..glyph import conf_signed, decode_page_columns
 from ..schema import WORD_BOX
 
 CONF_THRESHOLD = 30  # util/ocr_pdf.py:390-392
@@ -59,7 +59,8 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     for k in ("block", "par", "line", "word_idx"):
         out[k] = h[k].astype(np.int32)
     out["text"] = texts
-    for k in ("conf", "x", "y", "w", "h"):
+    out["conf"] = conf_signed(h["conf"])  # 255 → -1 (glyph.CONF_NOWORD)
+    for k in ("x", "y", "w", "h"):
         out[k] = h[k].astype(np.int32)
     return pd.DataFrame(out)
 
@@ -163,7 +164,9 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                        *[pdf[c] for c in passthrough])
             for media_ref, page_no, blob, *extra in rows:
                 hdr, texts = decode_page_columns(bytes(blob))
-                keep = np.nonzero(hdr["conf"] > conf_threshold)[0]
+                # conf_signed: the encoded 255 sentinel means conf=-1, which
+                # must NOT pass the readable gate as a uint8 255 would.
+                keep = np.nonzero(conf_signed(hdr["conf"]) > conf_threshold)[0]
                 if len(keep) == 0:
                     continue
                 h = hdr[keep]

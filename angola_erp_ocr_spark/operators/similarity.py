@@ -76,11 +76,16 @@ def _plane_component(p: int, d: int) -> Column:
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 12, dims: int = 64) -> Column:
-    """Bit p = sign(v · plane_p) — packs to a bigint bucket id."""
+    """Bit p = sign(v · plane_p) — packs to a bigint bucket id.
+
+    The projection is rounded to 6 decimals before the sign test so the
+    bit is reproducible across engines (same discipline as the cosine
+    scores): a borderline projection that differs by float-summation
+    noise must not flip a bucket bit between Spark and the oracle."""
     sig = F.lit(0).cast("bigint")
     for p in range(n_planes):
         plane = F.array(*[_plane_component(p, d) for d in range(dims)])
-        proj = dot(vec, plane)
+        proj = F.round(dot(vec, plane), 6)
         sig = sig + F.when(proj >= 0,
                            F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(0)
     return sig

@@ -35,6 +35,10 @@ def _has_text(col: str = "spans"):
     return F.exists(col, lambda s: s["kind"] == "text")
 
 
+def _has_media(col: str = "spans"):
+    return F.exists(col, lambda s: s["kind"] == "media")
+
+
 def extract_with_retry(
     documents: DataFrame,
     media_pages: DataFrame,
@@ -48,7 +52,13 @@ def extract_with_retry(
     when the first pass should be computed exactly once.
     """
     first = extract(documents, media_pages, repeat_k)
-    failed_ids = first.where(~_has_text()).select("doc_id")
+    # only media-bearing docs can OCR differently on retry; text-only docs
+    # that produced no spans are terminal (see cascade_committed)
+    retryable = documents.where(_has_media()).select("doc_id")
+    failed_ids = (
+        first.where(~_has_text()).select("doc_id")
+        .join(retryable, "doc_id", "left_semi")
+    )
     ok = first.join(failed_ids, "doc_id", "left_anti")
     retried = extract(
         documents.join(failed_ids, "doc_id", "left_semi"),
@@ -76,7 +86,16 @@ def cascade_committed(
     table = f"{out_dir}/documents_extracted"
     snapshot_append(extract(documents, media_pages, repeat_k), table)
     committed = read_snapshots_latest(spark, table)
-    failed_ids = committed.where(~_has_text()).select("doc_id")
+    # Retry only docs whose INPUT contains media spans: a doc with no
+    # media and no surviving text (empty / all-boilerplate digital text)
+    # is terminal — re-extracting it can't change the result, and without
+    # this guard every invocation would append a pointless new snapshot
+    # for the same doc ids forever.
+    retryable = documents.where(_has_media()).select("doc_id")
+    failed_ids = (
+        committed.where(~_has_text()).select("doc_id")
+        .join(retryable, "doc_id", "left_semi")
+    )
     if failed_ids.isEmpty():
         return committed
     retried = extract(

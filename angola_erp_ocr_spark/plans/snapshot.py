@@ -6,9 +6,10 @@ plain parquet directory so the engine behaves identically in the sandbox:
 
     table_dir/
       data/<snapshot_id>/part-*.parquet     (written FIRST)
-      manifests/<seq>-<snapshot_id>.json    (committed SECOND — atomic
-                                             rename; its existence IS the
-                                             commit)
+      manifests/<seq>.json                  (committed SECOND — created
+                                             O_CREAT|O_EXCL; its existence
+                                             IS the commit AND the atomic
+                                             claim on the sequence number)
 
 Readers union only data directories referenced by committed manifests, so
 a job killed after writing data but before the manifest rename leaves no
@@ -54,23 +55,36 @@ def snapshot_append(df: DataFrame, table_dir: str,
     n_rows = spark.read.parquet(data_dir).count()
 
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-    snaps = committed_snapshots(table_dir)
-    # max+1, NOT count: after expiry, count would reuse a live sequence
-    # number and corrupt the lexicographic commit order
-    seq = (max(s["seq"] for s in snaps) + 1) if snaps else 0
-    manifest = {
-        "seq": seq,
-        "snapshot_id": run_id,
-        "data_dir": data_dir,
-        "n_rows": n_rows,
-        "committed_at_unix": int(time.time()),
-    }
-    tmp = os.path.join(_manifest_dir(table_dir), f".tmp-{run_id}.json")
-    final = os.path.join(_manifest_dir(table_dir), f"{seq:06d}-{run_id}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, final)  # the atomic commit
-    return manifest
+    # Claim the sequence number atomically: O_CREAT|O_EXCL on the
+    # seq-named manifest fails if a concurrent writer took this seq, and
+    # we retry with the next one. Without this, two writers racing the
+    # read-modify-write (max+1) could commit duplicate seqs, making the
+    # latest-wins Window.orderBy(_seq desc) tie-break nondeterministic.
+    # (max+1, NOT count: after expiry, count would reuse a live sequence
+    # number and corrupt the lexicographic commit order.)
+    while True:
+        snaps = committed_snapshots(table_dir)
+        seq = (max(s["seq"] for s in snaps) + 1) if snaps else 0
+        manifest = {
+            "seq": seq,
+            "snapshot_id": run_id,
+            "data_dir": data_dir,
+            "n_rows": n_rows,
+            "committed_at_unix": int(time.time()),
+        }
+        # seq-only filename: the O_EXCL create collides exactly when two
+        # writers claim the same seq (a run_id suffix would make their
+        # paths distinct and defeat the exclusivity check)
+        final = os.path.join(_manifest_dir(table_dir), f"{seq:06d}.json")
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # another writer claimed this seq — take the next
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        return manifest
 
 
 def read_snapshots(spark: SparkSession, table_dir: str) -> DataFrame | None:
@@ -90,8 +104,10 @@ def expire_snapshots(table_dir: str, keep_last: int = 10) -> list[str]:
     doomed = snaps[:-keep_last] if keep_last else snaps
     dropped = []
     for s in doomed:
-        path = os.path.join(_manifest_dir(table_dir),
-                            f"{s['seq']:06d}-{s['snapshot_id']}.json")
+        path = os.path.join(_manifest_dir(table_dir), f"{s['seq']:06d}.json")
+        if not os.path.exists(path):  # legacy <seq>-<snapshot_id> layout
+            path = os.path.join(_manifest_dir(table_dir),
+                                f"{s['seq']:06d}-{s['snapshot_id']}.json")
         if os.path.exists(path):
             os.remove(path)
             dropped.append(s["data_dir"])

@@ -191,3 +191,100 @@ def test_windowed_event_counts_batch_semantics(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0]["n"] == 100
+
+
+def _family_docs(spark, n_fams=6, n_var=4):
+    """Families of similar texts: variants differ by appended tokens."""
+    rows = []
+    base = "relatorio mensal de operacoes do cliente numero"
+    for fam in range(n_fams):
+        for var in range(n_var):
+            doc_id = fam * n_var + var
+            extra = " ".join(f"extra{v}" for v in range(var))
+            rows.append((doc_id, f"{base} fam{fam} {extra}".strip()))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Pigeonhole guarantee: the banded equi-join finds EVERY pair with
+    hamming <= 3 that a brute-force cross join finds — including pairs
+    that differ only in the high 16 bits (the round-1 blocking missed
+    those)."""
+    docs = _family_docs(spark)
+    banded = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()}
+
+    s = docs.select(F.col("doc_id").alias("id"),
+                    dedup.simhash32(F.col("text")).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    hamming = F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)), F.lit(0),
+        lambda acc, j: acc
+        + (F.floor(xor / F.pow(F.lit(2.0), j)) % 2).cast("int"))
+    brute = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     hamming.alias("hamming"))
+             .where(F.col("hamming") <= 3).collect()}
+    assert banded == brute
+    assert brute, "fixture must produce at least one near-dup pair"
+    # at least one brute pair differs somewhere in the high 16 bits —
+    # i.e. the old high-16 blocking would have missed it
+    shs = {r["id"]: r["sh"] for r in s.collect()}
+    assert any((shs[x] >> 16) != (shs[y] >> 16) for x, y in brute), \
+        "fixture should exercise high-bit differences"
+
+
+def test_neardup_groups_transitive_chain(spark):
+    """A~B~C with A !~ C must still land in ONE component; unrelated docs
+    must not join it."""
+    toks = [f"w{i}" for i in range(12)]
+    rows = [
+        (1, " ".join(toks[0:8])),    # A
+        (2, " ".join(toks[1:9])),    # B: J(A,B)=5/7≈0.714
+        (3, " ".join(toks[2:10])),   # C: J(B,C)≈0.714, J(A,C)=0.5<0.6
+        (7, "totally unrelated content about spark query planning"),
+        (8, "totally unrelated content about spark query planning"),  # dup of 7
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.verify_candidates(
+        docs, dedup.minhash_lsh_pairs(docs, bands=8, rows=2),
+        threshold=0.6)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    assert (1, 3) not in got_pairs   # below threshold — only transitive
+
+    groups = {r["component_id"]: r
+              for r in dedup.neardup_groups(docs, bands=8, rows=2,
+                                            threshold=0.6).collect()}
+    assert groups[1]["members"] == "1,2,3"
+    assert groups[1]["keeper"] == 1
+    assert groups[1]["n_members"] == 3
+    assert groups[7]["members"] == "7,8"
+
+
+def test_connected_components_converges(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (11, 12), (2, 1)], ["id_a", "id_b"])
+    comp = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 5: 1, 9: 1, 11: 11, 12: 11}
+
+
+def test_embedding_near_dups_lsh_blocking(spark):
+    """Label-free default: finds a near-identical pair, and the plan is an
+    equi-join (no BroadcastNestedLoopJoin cross product)."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    jit = [v + 0.001 for v in base]
+    rows = [(1, base), (2, jit)]
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(3, 20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    df = dedup.embedding_near_dups(emb, threshold=0.95)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in df.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99

@@ -136,3 +136,34 @@ def test_table_rule_explodes_children(spark):
         ["doc_id", "doc_class", "text"])
     kids = apply_table_rule(docs, "en_invoice", r"(\d+ [A-Z] \d+\.\d{2})", 1).collect()
     assert [k["value"] for k in kids] == ["1 A 10.00", "2 B 20.00", "3 C 30.00"]
+
+
+SUPPLIER_LINES = [
+    ("d4", 0, "Original"),                      # avoid word — not the name
+    ("d4", 1, "/ACME COMERCIO LDA"),            # first clean line, leading /
+    ("d4", 2, "RUA DA MISSAO 12 LUANDA"),       # address marker word
+    ("d4", 3, "NIF: 5498765432"),
+    ("d4", 4, "TOTAL 100,00 AKZ"),
+]
+
+
+def test_supplier_name_and_address(spark):
+    row = extract_header_fields(_lines(spark, SUPPLIER_LINES)).first()
+    assert row["supplier"] == "ACME COMERCIO LDA"      # '/' stripped
+    assert row["supplier_address"] == "RUA DA MISSAO 12 LUANDA"
+    assert row["supplier_nif"] == "5498765432"
+
+
+def test_supplier_nif_enrichment_overwrites(spark):
+    """api/util.py:212-219 — the registry name wins over the scraped one."""
+    taxpayers = spark.createDataFrame(
+        [("5498765432", "ACME COMERCIO E SERVICOS SA")],
+        ["nif", "company_name"])
+    row = extract_header_fields(
+        _lines(spark, SUPPLIER_LINES), taxpayers).first()
+    assert row["supplier"] == "ACME COMERCIO E SERVICOS SA"
+    # docs whose NIF is not in the registry keep the scraped name
+    other = [(d, n, t.replace("5498765432", "5400000000"))
+             for d, n, t in SUPPLIER_LINES]
+    row2 = extract_header_fields(_lines(spark, other), taxpayers).first()
+    assert row2["supplier"] == "ACME COMERCIO LDA"

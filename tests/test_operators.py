@@ -141,3 +141,49 @@ def test_with_next_line_lookahead(spark):
     got = layout.with_next_line(df, ["doc_id"]).where(
         F.col("text") == "VALOR PAGO").first()
     assert got["next_text"] == "1.500,00 AKZ"
+
+
+def test_glyph_conf_sentinel_roundtrip():
+    """conf=-1 (Tesseract non-word sentinel) must survive the uint8 slot
+    and must NOT pass the readable gate; out-of-range fields raise."""
+    import pytest
+
+    from angola_erp_ocr_spark.glyph import decode_page, encode_page
+
+    words = [
+        dict(x=1, y=2, w=3, h=4, conf=-1, block=0, par=0, line=0,
+             word_idx=0, text="sep"),
+        dict(x=5, y=6, w=7, h=8, conf=90, block=0, par=0, line=0,
+             word_idx=1, text="real"),
+    ]
+    got = decode_page(encode_page(words))
+    assert got[0]["conf"] == -1
+    assert got[1]["conf"] == 90
+    with pytest.raises(ValueError):
+        encode_page([dict(words[1], conf=200)])     # not a Tesseract conf
+    with pytest.raises(ValueError):
+        encode_page([dict(words[1], x=-5)])         # would wrap in uint16
+    with pytest.raises(ValueError):
+        encode_page([dict(words[1], block=300)])    # would wrap in uint8
+
+
+def test_conf_sentinel_excluded_from_ocr(spark):
+    """A conf=-1 row reaches neither readable_words nor page_confidence's
+    mean (it used to wrap to 255 and pass the conf>30 gate)."""
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.operators.ocr import (
+        ocr_words, page_confidence, readable_words)
+    from angola_erp_ocr_spark.schema import MEDIA_PAGE
+
+    blob = bytearray(encode_page([
+        dict(x=1, y=2, w=3, h=4, conf=-1, block=0, par=0, line=0,
+             word_idx=0, text="sep"),
+        dict(x=5, y=2, w=3, h=4, conf=40, block=0, par=0, line=0,
+             word_idx=1, text="ok"),
+    ]))
+    pages = spark.createDataFrame([("m1", 0, blob, 150)], MEDIA_PAGE)
+    words = ocr_words(pages)
+    assert [r["text"] for r in readable_words(words).collect()] == ["ok"]
+    pc = page_confidence(words).first()
+    assert pc["mean_conf"] == 40.0      # the -1 row is excluded, not 255
+    assert pc["readable_words"] == 1
