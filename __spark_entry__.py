@@ -2277,3 +2277,115 @@ _ORACLES.update({
     "embedding_near_dups": SQL_EMB_NEAR_DUPS,
     "ann_topk_lsh": SQL_ANN_LSH,
 })
+
+
+def q_qr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 QR decode (api/util.py:8007-8086): page blobs with an embedded
+    QR payload container → mapInPandas decode → (media_ref, qr_text).
+    Docs with doc_id%5==0 carry no QR and must produce no row. The
+    encode→binary→decode round trip is the Spark side; the oracle
+    recomputes the expected payloads arithmetically."""
+    import pandas as pd
+
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.operators.multimodal import (
+        decode_qr_media, embed_qr)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            refs, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                page = encode_page([dict(
+                    x=40, y=10, w=56, h=12, conf=80, block=0, par=0,
+                    line=0, word_idx=0, text=f"FACTURA{did}")])
+                if did % 5 != 0:
+                    url = f"https://portal.agt.minfin.gov.ao/invoice?id={did}"
+                    page = embed_qr(page, url)
+                refs.append(f"page://doc/{did}")
+                blobs.append(bytearray(page))
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+
+    pages = docs.mapInPandas(build, schema="media_ref string, payload binary")
+    return decode_qr_media(pages)
+
+
+SQL_QR_DECODE = """
+SELECT printf('page://doc/%d', doc_id) AS media_ref,
+       printf('https://portal.agt.minfin.gov.ao/invoice?id=%d', doc_id)
+         AS qr_text
+FROM documents WHERE doc_id % 5 <> 0
+"""
+
+
+def q_table_grid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8 table-grid extraction (api/util.py:8419-8697) as the named
+    L4+L5+L2 composition: constructed 3×3 grid cells with jittered
+    coordinates → y-gap row clustering → nearest-center column assignment
+    → row pivot."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    cell = F.explode(F.array(*[
+        F.struct(
+            (F.lit(100 + r * 30) + (d + r) % 4).cast("int").alias("y"),
+            (F.lit(50 + c * 120) + (d + c) % 6).cast("int").alias("x"),
+            F.lit(40).alias("w"),
+            F.format_string(f"cell_r{r}_c{c}_%d", d % 100).alias("text"),
+        ) for r in range(3) for c in range(3)]))
+    cells = docs.select("doc_id", cell.alias("s")).select(
+        "doc_id", F.col("s.y").alias("y"), F.col("s.x").alias("x"),
+        F.col("s.w").alias("w"), F.col("s.text").alias("text"))
+    rowed = layout.cluster_rows_by_gap(cells, ["doc_id"], "y", 15.0)
+    centers = docs.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(f"c{c}").alias("col_id"),
+                 F.lit(60.0 + c * 120).alias("center_x"))
+        for c in range(3)])).alias("s")
+    ).select("doc_id", F.col("s.col_id").alias("col_id"),
+             F.col("s.center_x").alias("center_x"))
+    assigned = layout.assign_to_centers(rowed, centers, ["doc_id"])
+    return (
+        layout.pivot_rows(assigned, ["doc_id"], ["c0", "c1", "c2"])
+        .withColumn("row_id", F.col("row_id").cast("long"))
+    )
+
+
+SQL_TABLE_GRID = """
+WITH cells AS (
+  SELECT doc_id,
+         100 + u.r * 30 + (doc_id + u.r) % 4 AS y,
+         50 + u.c * 120 + (doc_id + u.c) % 6 AS x,
+         printf('cell_r%d_c%d_%d', u.r, u.c, doc_id % 100) AS text
+  FROM documents,
+       (SELECT rr.r, cc.c
+        FROM UNNEST(range(0, 3)) rr(r), UNNEST(range(0, 3)) cc(c)) u),
+rowed AS (
+  SELECT doc_id, y, x, text,
+         CAST(sum(CASE WHEN prev_y IS NULL OR y - prev_y > 15
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY y
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS row_id
+  FROM (SELECT *, lag(y) OVER (PARTITION BY doc_id ORDER BY y) AS prev_y
+        FROM cells)),
+assigned AS (
+  SELECT doc_id, row_id, text,
+         CASE WHEN x + 10 < 120 THEN 'c0'
+              WHEN x + 10 < 240 THEN 'c1' ELSE 'c2' END AS col_id
+  FROM rowed)
+SELECT doc_id, row_id,
+       max(CASE WHEN col_id = 'c0' THEN text END) AS c0,
+       max(CASE WHEN col_id = 'c1' THEN text END) AS c1,
+       max(CASE WHEN col_id = 'c2' THEN text END) AS c2
+FROM assigned GROUP BY doc_id, row_id
+"""
+
+
+_QUERIES.update({
+    "qr_decode": q_qr_decode,
+    "table_grid_extract": q_table_grid_extract,
+})
+_ORACLES.update({
+    "qr_decode": SQL_QR_DECODE,
+    "table_grid_extract": SQL_TABLE_GRID,
+})

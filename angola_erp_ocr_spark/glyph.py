@@ -128,6 +128,19 @@ def decode_page_columns(blob: bytes) -> tuple[np.ndarray, list[str]]:
     raise ValueError("not a glyph grid")
 
 
+def payload_end(blob: bytes) -> int:
+    """Exact end offset of the glyph-grid content (GG02 only). Trailing
+    bytes after this offset are not part of the word grid — the page
+    container uses that region for embedded extras (e.g. the QR payload,
+    ``multimodal.embed_qr``), mirroring a page image that contains both
+    text and a QR code in one binary."""
+    magic, n = _HDR.unpack_from(blob, 0)
+    if magic != MAGIC:
+        raise ValueError("payload_end requires GG02")
+    hdr = np.frombuffer(blob, dtype=HEADER_DTYPE, count=n, offset=_HDR.size)
+    return _HDR.size + n * HEADER_DTYPE.itemsize + int(hdr["tlen"].sum())
+
+
 def decode_page(blob: bytes) -> list[dict]:
     """Row-oriented decode (unit tests / debugging); conf sentinel restored."""
     hdr, texts = decode_page_columns(blob)

@@ -17,6 +17,7 @@ never reread the blobs.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -29,6 +30,12 @@ try:  # pragma: no cover - not present in this container
     HAS_PIL = True
 except ImportError:
     HAS_PIL = False
+
+try:  # pragma: no cover - not present in this container
+    from pyzbar import pyzbar  # noqa: F401
+    HAS_PYZBAR = True
+except ImportError:
+    HAS_PYZBAR = False
 
 MEDIA_META = T.StructType([
     T.StructField("media_ref", T.StringType(), False),
@@ -96,6 +103,101 @@ def decode_images(df: DataFrame, ref_col: str = "media_ref",
                                               "embedding"])
 
     return df.select(ref_col, bytes_col).mapInPandas(run, schema=IMAGE_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# I10 — QR detect/decode (reference api/util.py:8007-8051 pyzbar,
+# 8083-8086 cv2.QRCodeDetector; decoded URL feeds the AGT tax-portal
+# lookup 8087-8174). Real decoders are gated (pyzbar/OpenCV absent in this
+# container); the deterministic stand-in is a binary QR payload container
+# appended to the glyph-grid page blob (one binary per page holding both
+# the word grid and the QR region, like a real page image):
+#
+#     b"QR01" + uint16le payload_len + payload_utf8 + uint8 xor_checksum
+# ---------------------------------------------------------------------------
+
+QR_MAGIC = b"QR01"
+_QR_STRUCT = struct.Struct("<4sH")
+
+
+def encode_qr(payload: str) -> bytes:
+    """Deterministic QR stand-in blob (see module comment)."""
+    pb = payload.encode("utf-8")
+    if len(pb) > 65535:
+        raise ValueError("QR payload too long")
+    chk = 0
+    for b in pb:
+        chk ^= b
+    return _QR_STRUCT.pack(QR_MAGIC, len(pb)) + pb + bytes([chk])
+
+
+def embed_qr(page_blob: bytes, payload: str) -> bytes:
+    """Append a QR payload to a glyph-grid page blob — the word decoder
+    ignores trailing bytes; ``extract_qr`` finds it at ``payload_end``."""
+    return page_blob + encode_qr(payload)
+
+
+def extract_qr(blob: bytes, strict: bool = False) -> str | None:
+    """Decode the QR payload of a page blob, or None when absent.
+
+    Glyph-grid pages: the QR container sits exactly at the grid's payload
+    end (no scanning, no false positives; a corrupt checksum → None).
+    Other binaries (real page images): requires a real detector —
+    pyzbar when available, else None (strict=True raises, the production
+    posture when image codecs are expected)."""
+    from ..glyph import MAGIC, payload_end
+
+    if blob[:4] == MAGIC:
+        try:
+            off = payload_end(blob)
+        except (ValueError, struct.error):
+            return None
+        rest = blob[off:]
+        if len(rest) < _QR_STRUCT.size + 1 or rest[:4] != QR_MAGIC:
+            return None
+        _, n = _QR_STRUCT.unpack_from(rest, 0)
+        body = rest[_QR_STRUCT.size:_QR_STRUCT.size + n]
+        if len(rest) < _QR_STRUCT.size + n + 1:
+            return None
+        chk = 0
+        for b in body:
+            chk ^= b
+        if chk != rest[_QR_STRUCT.size + n]:
+            return None
+        return body.decode("utf-8")
+    if HAS_PYZBAR:  # pragma: no cover - real decoder path
+        from PIL import Image
+        import io
+        codes = pyzbar.decode(Image.open(io.BytesIO(blob)))
+        return codes[0].data.decode("utf-8") if codes else None
+    if strict:
+        raise NotImplementedError(
+            "QR decode on real images requires pyzbar/OpenCV — "
+            "not in this container")
+    return None
+
+
+def decode_qr_media(df: DataFrame, ref_col: str = "media_ref",
+                    bytes_col: str = "payload",
+                    strict: bool = False) -> DataFrame:
+    """mapInPandas QR stage over (ref, bytes) batches → one row per page
+    that carries a decodable QR: (media_ref, qr_text)."""
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("qr_text", T.StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, texts = [], []
+            for ref, blob in zip(pdf[ref_col], pdf[bytes_col]):
+                qr = extract_qr(bytes(blob), strict=strict)
+                if qr is not None:
+                    refs.append(ref)
+                    texts.append(qr)
+            yield pd.DataFrame({"media_ref": refs, "qr_text": texts})
+
+    return df.select(ref_col, bytes_col).mapInPandas(run, schema=schema)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, ref_col: str = "media_ref",

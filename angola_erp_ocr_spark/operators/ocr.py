@@ -121,9 +121,20 @@ def assemble_lines(words: DataFrame) -> DataFrame:
     )
 
 
+QR_Y = 999999     # decoded QR sorts after every real line of its page
+QR_BLOCK = 9999
+
+
 def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
-              conf_threshold: int = CONF_THRESHOLD) -> DataFrame:
+              conf_threshold: int = CONF_THRESHOLD,
+              emit_qr: bool = False) -> DataFrame:
     """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
+
+    ``emit_qr=True`` additionally decodes the page's embedded QR payload
+    (I10, reference api/util.py:8007-8086) and emits it as a synthetic
+    line (block=QR_BLOCK, y=QR_Y → sorts after the page's real lines) —
+    in the SAME pass, so the page blobs cross the Arrow boundary once,
+    not twice.
 
     Equivalent to ``assemble_lines(readable_words(ocr_words(pages)))`` but
     words never leave the UDF: no word-level Arrow transfer and no
@@ -141,6 +152,7 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
     from pyspark.sql import types as T
 
     from ..glyph import decode_page_columns
+    from .multimodal import extract_qr
 
     base = T.StructType([
         T.StructField("media_ref", T.StringType(), False),
@@ -163,7 +175,17 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
             rows = zip(pdf["media_ref"], pdf["page_no"], pdf["glyph_grid"],
                        *[pdf[c] for c in passthrough])
             for media_ref, page_no, blob, *extra in rows:
-                hdr, texts = decode_page_columns(bytes(blob))
+                blob = bytes(blob)
+                hdr, texts = decode_page_columns(blob)
+                qr = extract_qr(blob) if emit_qr else None
+                if qr is not None:
+                    heads.append(np.array(
+                        [[QR_BLOCK, 0, 0, 0, QR_Y]], dtype=np.int32))
+                    txts.append(qr)
+                    refs.append(np.full(1, media_ref, dtype=object))
+                    pages.append(np.full(1, int(page_no), dtype=np.int32))
+                    for c, v in zip(passthrough, extra):
+                        extras[c].append(np.full(1, v, dtype=object))
                 # conf_signed: the encoded 255 sentinel means conf=-1, which
                 # must NOT pass the readable gate as a uint8 255 would.
                 keep = np.nonzero(conf_signed(hdr["conf"]) > conf_threshold)[0]

@@ -126,7 +126,12 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
     # every line (≈6× the pages) through the join instead
     pages = media_pages.join(markers, "media_ref")
     kwargs = {} if conf_threshold is None else {"conf_threshold": conf_threshold}
-    lines = ocr_lines(pages, passthrough=("doc_id", "seg"), **kwargs)
+    # emit_qr: embedded QR payloads (I10) decode in the same fused pass and
+    # surface as a trailing text span of their page (y=QR_Y), exactly how
+    # the reference turns the decoded AGT-portal URL into a text line
+    # (api/util.py:8087-8174).
+    lines = ocr_lines(pages, passthrough=("doc_id", "seg"), emit_qr=True,
+                      **kwargs)
     return lines.select(
         "doc_id",
         F.col("seg").cast("long").alias("seg"),

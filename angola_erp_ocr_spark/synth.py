@@ -32,6 +32,7 @@ import re
 
 from .functions.normalize import AVOID_RE, normalize_py
 from .glyph import encode_page
+from .operators.multimodal import embed_qr
 
 SEED = 42
 HEAVY_FRACTION = 0.01
@@ -272,6 +273,14 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
                                        media_ref=None))
         else:
             media_ref = f"page://{doc_id}/{page_no}"
+            # AGT invoices carry a QR on their first scanned page whose
+            # decoded portal URL becomes a trailing text span (I10,
+            # api/util.py:8087-8174)
+            qr_url = (
+                f"https://portal.agt.minfin.gov.ao/invoice/{doc_id}"
+                if seg_no == 0 and cls in ("en_invoice", "ao_modelo_factura")
+                else None
+            )
             seg_no += 1
             raw_spans.append(dict(kind="media", text="", media_ref=media_ref,
                                   offset=offset))
@@ -296,8 +305,15 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
                 candidates.append(dict(seg=seg_no, rank=1, y=y, x=x0,
                                        text=normalize_py(kept), media_ref=media_ref))
                 y += 12 + rng.randrange(5)
+            blob = encode_page(words)
+            if qr_url is not None:
+                blob = embed_qr(blob, qr_url)
+                # decoded QR line sorts after the page's real lines (QR_Y)
+                candidates.append(dict(seg=seg_no, rank=1, y=999999, x=0,
+                                       text=normalize_py(qr_url),
+                                       media_ref=media_ref))
             media_rows.append(dict(media_ref=media_ref, page_no=page_no,
-                                   glyph_grid=encode_page(words),
+                                   glyph_grid=blob,
                                    dpi=DPI_LADDER[i % len(DPI_LADDER)]))
         page_no += 1
 

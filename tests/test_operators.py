@@ -187,3 +187,58 @@ def test_conf_sentinel_excluded_from_ocr(spark):
     pc = page_confidence(words).first()
     assert pc["mean_conf"] == 40.0      # the -1 row is excluded, not 255
     assert pc["readable_words"] == 1
+
+
+def test_qr_codec_roundtrip_and_gates(spark):
+    """I10: embedded QR decodes exactly; corrupt checksum and QR-less
+    pages yield nothing; strict mode raises on non-glyph binaries."""
+    import pytest
+
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.operators.multimodal import (
+        decode_qr_media, embed_qr, extract_qr)
+
+    page = encode_page([dict(x=1, y=2, w=3, h=4, conf=80, block=0, par=0,
+                             line=0, word_idx=0, text="FACTURA")])
+    url = "https://portal.agt.minfin.gov.ao/invoice/doc42"
+    blob = embed_qr(page, url)
+    assert extract_qr(blob) == url
+    assert extract_qr(page) is None                  # no QR on the page
+    corrupt = blob[:-1] + bytes([blob[-1] ^ 0xFF])   # checksum broken
+    assert extract_qr(corrupt) is None
+    with pytest.raises(NotImplementedError):
+        extract_qr(b"\x89PNG not a glyph grid", strict=True)
+
+    pages = spark.createDataFrame(
+        [("m1", bytearray(blob)), ("m2", bytearray(page))],
+        "media_ref string, payload binary")
+    got = decode_qr_media(pages).collect()
+    assert [(r["media_ref"], r["qr_text"]) for r in got] == [("m1", url)]
+
+
+def test_qr_becomes_trailing_text_span(spark):
+    """Pipeline integration: the decoded QR URL surfaces as the LAST text
+    span of its page segment (reference: decoded URL feeds the portal
+    lookup as a text line, api/util.py:8087-8174)."""
+    from pyspark.sql import functions as F
+
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.operators.multimodal import embed_qr
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    page = encode_page([
+        dict(x=40, y=10, w=50, h=12, conf=80, block=0, par=0, line=0,
+             word_idx=0, text="MODELO"),
+        dict(x=100, y=10, w=50, h=12, conf=80, block=0, par=0, line=0,
+             word_idx=1, text="FACTURA"),
+    ])
+    url = "https://portal.agt.minfin.gov.ao/invoice/q1"
+    docs = spark.createDataFrame(
+        [("q1", None, [("media", "", "page://q1/0", 0)])],
+        DOCUMENTS_RAW).select("doc_id", "spans")
+    media = spark.createDataFrame(
+        [("page://q1/0", 0, bytearray(embed_qr(page, url)), 150)], MEDIA_PAGE)
+    spans = extract(docs, media).first()["spans"]
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == ["MODELO FACTURA", url]
