@@ -69,11 +69,16 @@ def _spark(master: str, parallelism: int):
     return spark
 
 
+CORPUS_GEN = 2  # bump when synth.py changes the corpus content (r2: QR)
+
+
 def materialize_corpus(spark, n_docs: int) -> str:
-    """Build the interleaved corpus once; reused across parallelism levels."""
+    """Build the interleaved corpus once; reused across parallelism levels.
+    The directory is generation-versioned so a synth change can never
+    silently reuse a stale cached corpus from a previous round."""
     from angola_erp_ocr_spark.synth import build_corpus
 
-    out = f"/tmp/spark_graft_bench_corpus_{n_docs}"
+    out = f"/tmp/spark_graft_bench_corpus_g{CORPUS_GEN}_{n_docs}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         raw, golden, media = build_corpus(spark, n_docs)
@@ -87,6 +92,23 @@ def materialize_corpus(spark, n_docs: int) -> str:
 def _force(df) -> int:
     """Fully execute the plan; returns row count (cheap final agg)."""
     return df.count()
+
+
+def _plan_digest(df) -> tuple[str, str]:
+    """(normalized formatted plan, stable 12-hex digest). Expression ids
+    (#123), plan-node ids and codegen ids vary run-to-run and are
+    stripped, so the digest changes only when the plan SHAPE changes —
+    BENCH/plans.json diffs pinpoint plan regressions between rounds."""
+    import hashlib
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    norm = re.sub(r"#\d+[L]?", "#x", plan)
+    norm = re.sub(r"\[plan_id=\d+\]", "[plan_id=x]", norm)
+    norm = re.sub(r"\(\d+\)", "(n)", norm)
+    norm = re.sub(r"cvalue_\d+", "cvalue_x", norm)
+    return norm, hashlib.md5(norm.encode()).hexdigest()[:12]
 
 
 def run_extraction(spark, corpus_dir: str) -> tuple[float, int]:
@@ -141,18 +163,28 @@ def main() -> None:
     corpus = materialize_corpus(spark, n_docs)
 
     # end-to-end extraction throughput (the BASELINE.json headline metric);
-    # first run warms JIT/codegen, second run is the measurement
+    # first run warms JIT/codegen, then best-of-3 — single measured runs
+    # showed ±30% JVM run-to-run drift on the flagship (VERDICT r1 §perf),
+    # which best-of-N removes, matching the scaling protocol's discipline
     run_extraction(spark, corpus)
-    wall, out_docs = run_extraction(spark, corpus)
+    runs = [run_extraction(spark, corpus) for _ in range(3)]
+    wall, out_docs = min(runs, key=lambda r: r[0])
     docs_per_sec = n_docs / wall
 
     qs = contract.queries()
     qtimes: dict[str, float] = {}
+    plans: dict[str, str] = {}
+    digests: dict[str, str] = {}
     for name in HEADLINE:
+        plans[name], digests[name] = _plan_digest(qs[name](spark, SF_DIR))
         _force(qs[name](spark, SF_DIR))  # codegen/regex-compile warmup
-        t0 = time.monotonic()
-        _force(qs[name](spark, SF_DIR))
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            _force(qs[name](spark, SF_DIR))
+            best = min(best, time.monotonic() - t0)
+        qtimes[name] = round(best, 3)
+    _write_plans(plans, digests)
 
     result = {
         "metric": "end-to-end interleaved extraction + headline operator suite",
@@ -165,6 +197,8 @@ def main() -> None:
         "docs_per_sec": round(docs_per_sec, 1),
         "docs_out": out_docs,
         "cpus": CPUS,
+        "timing": "best-of-3 after warmup",
+        "plan_digests": digests,
     }
 
     if scaling:
@@ -238,6 +272,15 @@ def run_scaling_protocol(corpus: str, n_docs: int,
     out["protocol"] = (f"taskset-pinned spark-submit --py-files, best of 4, "
                        f"same corpus ({scale_corpus})")
     return out
+
+
+def _write_plans(plans: dict[str, str], digests: dict[str, str]) -> None:
+    """Persist normalized formatted plans + digests for round-over-round
+    diffing (a digest change means the physical plan shape changed)."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "plans.json"), "w") as f:
+        json.dump({n: {"digest": digests[n], "plan": plans[n]}
+                   for n in sorted(plans)}, f, indent=1)
 
 
 def _write_bench_md(result: dict, n_small: int) -> None:
