@@ -2389,3 +2389,165 @@ _ORACLES.update({
     "qr_decode": SQL_QR_DECODE,
     "table_grid_extract": SQL_TABLE_GRID,
 })
+
+
+# ===========================================================================
+# Promotions: rows-only → oracle-checked. The oracles recompute the
+# EXPECTED results independently (arithmetic / digest math / the golden
+# invariant), so the driver's value-hash now pins these semantics too.
+# ===========================================================================
+
+# cascade_retry constructs 18 docs where every 3rd fails the pass-1 conf
+# gate and the bounded retry must recover ALL of them (rows are fully
+# determined by the construction).
+SQL_CASCADE_RETRY = """
+SELECT printf('c%04d', i) AS doc_id,
+       i % 3 <> 0 AS had_text_pass1,
+       true AS has_text_final
+FROM range(18) t(i)
+"""
+
+# multimodal_decode's clearly-marked fake decoder derives width/height from
+# the payload's sha256 digest bytes — exactly reproducible in SQL.
+SQL_MULTIMODAL_DECODE = """
+SELECT printf('image://doc/%d', doc_id) AS media_ref,
+       CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS INT)
+         AS width,
+       CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS INT)
+         AS height,
+       8 AS emb_dims
+FROM documents
+"""
+
+# the golden invariant itself: every corpus doc's extracted span sequence
+# equals the independently generated golden — n_matched MUST equal n_docs.
+SQL_GOLDEN_CHECK = """
+SELECT CAST(120 AS BIGINT) AS n_docs, CAST(120 AS BIGINT) AS n_matched
+"""
+
+_ORACLES.update({
+    "cascade_retry": SQL_CASCADE_RETRY,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "interleaved_golden_check": SQL_GOLDEN_CHECK,
+})
+
+
+# ===========================================================================
+# L6 line assembly + I9 block segmentation over a constructed D3 word
+# stream, and the standalone P11 length/numeric heuristics — closing the
+# last "partial / no-oracle" operators from SURVEY §2.
+# ===========================================================================
+
+def _ocr_word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructed D3 word-stream rows: 24 words per doc in 2 blocks ×
+    2 pars × 2 lines × 3 words (exactly Tesseract's image_to_data shape)."""
+    w = _word_rows(spark, sf_dir).where(F.col("pos") < 24)
+    return w.select(
+        F.format_string("page://doc/%d", F.col("doc_id")).alias("media_ref"),
+        F.lit(0).alias("page_no"),
+        (F.col("pos") / 12).cast("int").alias("block"),
+        ((F.col("pos") / 6) % 2).cast("int").alias("par"),
+        ((F.col("pos") / 3) % 2).cast("int").alias("line"),
+        (F.col("pos") % 3).cast("int").alias("word_idx"),
+        F.col("word").alias("text"),
+        (F.col("pos") * 7 % 100).cast("int").alias("x"),
+        (F.col("pos") * 11 % 80).cast("int").alias("y"),
+    )
+
+
+_OCR_WORD_ROWS_SQL = f"""
+  SELECT printf('page://doc/%d', doc_id) AS media_ref, 0 AS page_no,
+         CAST(pos // 12 AS INT) AS block,
+         CAST((pos // 6) % 2 AS INT) AS par,
+         CAST((pos // 3) % 2 AS INT) AS line,
+         CAST(pos % 3 AS INT) AS word_idx,
+         word AS text,
+         CAST(pos * 7 % 100 AS INT) AS x,
+         CAST(pos * 11 % 80 AS INT) AS y
+  FROM ({_WORD_ROWS_SQL}) WHERE pos < 24
+"""
+
+
+def q_l6_line_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (util/ocr_pdf.py:177-194): word stream → line table."""
+    from angola_erp_ocr_spark.operators.ocr import assemble_lines
+
+    return assemble_lines(_ocr_word_rows(spark, sf_dir))
+
+
+SQL_L6 = f"""
+WITH w AS ({_OCR_WORD_ROWS_SQL})
+SELECT media_ref, page_no, block, par, line,
+       string_agg(text, ' ' ORDER BY word_idx) AS text,
+       min(x) AS x, min(y) AS y
+FROM w GROUP BY media_ref, page_no, block, par, line
+"""
+
+
+def q_i9_block_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9 (api/util.py:8699-8829): block segmentation as a named op."""
+    from angola_erp_ocr_spark.operators.ocr import segment_blocks
+
+    return segment_blocks(_ocr_word_rows(spark, sf_dir))
+
+
+SQL_I9 = f"""
+WITH w AS ({_OCR_WORD_ROWS_SQL})
+SELECT media_ref, page_no, block,
+       string_agg(text, ' ' ORDER BY par, line, word_idx) AS text,
+       min(x) AS x, min(y) AS y
+FROM w GROUP BY media_ref, page_no, block
+"""
+
+
+def q_p11_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: token classification by length/numeric shape."""
+    from angola_erp_ocr_spark.functions.normalize import length_class_col
+
+    d = F.col("doc_id")
+    token = (
+        F.when(d % 5 == 0, F.format_string("54%08d", (d * 977) % 100000000))
+        .when(d % 5 == 1, F.format_string("%014d", d * 31))
+        .when(d % 5 == 2, F.format_string("%09d", d * 17))
+        .when(d % 5 == 3, F.format_string("REG%012d", d * 7))
+        .otherwise(F.format_string("ABC-%d", d))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", token.alias("token"))
+    return docs.select("doc_id", "token",
+                       length_class_col(F.col("token")).alias("token_class"))
+
+
+SQL_P11 = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN printf('54%08d', (doc_id * 977) % 100000000)
+           WHEN 1 THEN printf('%014d', doc_id * 31)
+           WHEN 2 THEN printf('%09d', doc_id * 17)
+           WHEN 3 THEN printf('REG%012d', doc_id * 7)
+           ELSE printf('ABC-%d', doc_id) END AS token
+  FROM documents)
+SELECT doc_id, token,
+       CASE WHEN regexp_matches(token, '^\d+$') AND length(token) = 10
+              THEN 'nif'
+            WHEN regexp_matches(token, '^\d+$') AND length(token) IN (14, 15)
+              THEN 'account'
+            WHEN regexp_matches(token, '^\d+$') AND length(token) = 9
+              THEN 'operation'
+            WHEN token LIKE 'REG%' AND length(token) = 15
+              THEN 'declaration'
+            ELSE 'other' END AS token_class
+FROM t
+"""
+
+
+_QUERIES.update({
+    "l6_line_assembly": q_l6_line_assembly,
+    "i9_block_segments": q_i9_block_segments,
+    "p11_heuristics": q_p11_heuristics,
+})
+_ORACLES.update({
+    "l6_line_assembly": SQL_L6,
+    "i9_block_segments": SQL_I9,
+    "p11_heuristics": SQL_P11,
+})

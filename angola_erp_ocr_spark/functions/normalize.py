@@ -136,6 +136,25 @@ def iban_regroup_sql(expr: str) -> str:
     )
 
 
+INT_TOKEN_RE = r"^\d+$"
+
+
+def length_class_col(col: Column) -> Column:
+    """P11 (api/util.py:1641-1669, 1906, 2363-2376, 2043): length/numeric
+    token heuristics — len==10 → NIF, len 14/15 → account number,
+    len==9 → operation number, 'REG'+12 digits (len 15) → declaration id.
+    Pure expressions; regex numeric test (no ANSI-mode cast traps)."""
+    is_num = col.rlike(INT_TOKEN_RE)
+    n = F.length(col)
+    return (
+        F.when(is_num & (n == 10), F.lit("nif"))
+        .when(is_num & ((n == 14) | (n == 15)), F.lit("account"))
+        .when(is_num & (n == 9), F.lit("operation"))
+        .when(col.startswith("REG") & (n == 15), F.lit("declaration"))
+        .otherwise(F.lit("other"))
+    )
+
+
 def tokenize_col(col: Column) -> Column:
     """P8 (ocr_read.py:23-30): strip non-word chars, split to word array."""
     return F.split(F.trim(F.regexp_replace(col, r"\W+", " ")), " ")

@@ -125,6 +125,29 @@ QR_Y = 999999     # decoded QR sorts after every real line of its page
 QR_BLOCK = 9999
 
 
+def segment_blocks(words: DataFrame) -> DataFrame:
+    """I9 (api/util.py:8699-8829): text-block segmentation — one row per
+    (media_ref, page_no, block): the block's full text in
+    (par, line, word_idx) reading order plus its top-left anchor.
+    A single hash aggregation; blocks become spans with bboxes feeding
+    L3 reading order."""
+    return (
+        words.groupBy("media_ref", "page_no", "block")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("par", "line", "word_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+            F.min("x").alias("x"),
+            F.min("y").alias("y"),
+        )
+    )
+
+
 def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
               conf_threshold: int = CONF_THRESHOLD,
               emit_qr: bool = False) -> DataFrame:

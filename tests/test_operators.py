@@ -242,3 +242,50 @@ def test_qr_becomes_trailing_text_span(spark):
     spans = extract(docs, media).first()["spans"]
     texts = [s["text"] for s in spans if s["kind"] == "text"]
     assert texts == ["MODELO FACTURA", url]
+
+
+def test_segment_blocks(spark):
+    """I9: block text assembles in (par, line, word_idx) order with the
+    min-box anchor."""
+    from angola_erp_ocr_spark.operators.ocr import segment_blocks
+
+    rows = [
+        # (media_ref, page_no, block, par, line, word_idx, text, conf, x, y, w, h)
+        ("m", 0, 0, 1, 0, 0, "tail", 90, 10, 50, 5, 5),
+        ("m", 0, 0, 0, 0, 1, "world", 90, 60, 10, 5, 5),
+        ("m", 0, 0, 0, 0, 0, "hello", 90, 20, 10, 5, 5),
+        ("m", 0, 1, 0, 0, 0, "other", 90, 5, 80, 5, 5),
+    ]
+    cols = ["media_ref", "page_no", "block", "par", "line", "word_idx",
+            "text", "conf", "x", "y", "w", "h"]
+    got = {r["block"]: r for r in
+           segment_blocks(spark.createDataFrame(rows, cols)).collect()}
+    assert got[0]["text"] == "hello world tail"
+    assert (got[0]["x"], got[0]["y"]) == (10, 10)
+    assert got[1]["text"] == "other"
+
+
+def test_length_class_heuristics(spark):
+    from angola_erp_ocr_spark.functions.normalize import length_class_col
+    from pyspark.sql import functions as F
+
+    rows = [("5412345678",), ("12345678901234",), ("123456789",),
+            ("REG123456789012",), ("ABC-7",), ("123456789012345",)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r["c"] for r in
+           df.select(length_class_col(F.col("t")).alias("c")).collect()]
+    assert got == ["nif", "account", "operation", "declaration", "other",
+                   "account"]
+
+
+def test_csv_debug_sink_roundtrip(spark, tmp_path):
+    """K3: the debug CSV sink writes readable, header-carrying output."""
+    from angola_erp_ocr_spark.sources.tables import write_csv_debug
+
+    df = spark.createDataFrame([("d1", 1, "ola"), ("d2", 2, "mundo")],
+                               ["doc_id", "n", "text"])
+    out = str(tmp_path / "debug_csv")
+    write_csv_debug(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
+        ("d1", "ola"), ("d2", "mundo")]
