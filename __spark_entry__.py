@@ -2551,3 +2551,110 @@ _ORACLES.update({
     "i9_block_segments": SQL_I9,
     "p11_heuristics": SQL_P11,
 })
+
+
+# ===========================================================================
+# clean_corpus — the end-to-end training-data cleaning pass: quality
+# filter (textstats score) + exact-dup keeper election, the standard
+# first stage of every web-scale corpus pipeline. One window + one filter;
+# at 10^12 docs this is one shuffle on md5(text).
+# ===========================================================================
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angola_erp_ocr_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    # make both filters fire: every 7th doc is punctuation soup (quality
+    # drop), every 7th+1 shares one duplicate text (keeper election drop)
+    text = (
+        F.when(d % 7 == 0, F.lit("!!! ### $$$ %% && ** @@"))
+        .when(d % 7 == 1,
+              F.lit("the quick brown fox is in the shared duplicate text"))
+        .otherwise(F.col("text"))
+    )
+    docs = docs.select("doc_id", text.alias("text"))
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        docs
+        .withColumn("quality", quality_score(F.col("text")))
+        .withColumn("_keeper", F.min("doc_id").over(w))
+        .where((F.col("doc_id") == F.col("_keeper"))
+               & (F.col("quality") >= 0.5))
+        .select("doc_id", "quality")
+    )
+
+
+from angola_erp_ocr_spark.operators.textstats import STOPWORDS_EN  # noqa: E402
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+SQL_CLEAN_CORPUS = f"""
+WITH d2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '!!! ### $$$ %% && ** @@'
+              WHEN doc_id % 7 = 1
+                THEN 'the quick brown fox is in the shared duplicate text'
+              ELSE text END AS text
+  FROM documents),
+t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct
+  FROM d2),
+q AS (
+  SELECT doc_id, text,
+         round((least(len(toks) / 20.0, 1.0)
+                + (1.0 - least(punct / greatest(length(text), 1) * 5, 1.0))
+                + least(len(list_filter(toks,
+                        tok -> list_contains({_STOPS_SQL}, tok)))
+                        / greatest(len(toks), 1) * 4, 1.0)) / 3, 6) AS quality
+  FROM t),
+k AS (
+  SELECT doc_id, quality,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM q)
+SELECT doc_id, quality FROM k WHERE doc_id = keeper AND quality >= 0.5
+"""
+
+_QUERIES["clean_corpus"] = q_clean_corpus
+_ORACLES["clean_corpus"] = SQL_CLEAN_CORPUS
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 stateful streaming: applyInPandasWithState exact-dedup over a
+    file stream of constructed duplicate families (100 groups of 5) —
+    emits exactly the min-id doc of each text group. Runs a real
+    Structured Streaming query (availableNow) and returns the sink."""
+    import tempfile
+
+    from angola_erp_ocr_spark.streaming.stateful_dedup import (
+        streaming_exact_dedup)
+
+    base = tempfile.mkdtemp(prefix="sgq_streamdedup_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    d = F.col("doc_id")
+    _docs(spark, sf_dir).select(
+        F.format_string("d%04d", d).alias("doc_id"),
+        F.format_string("texto partilhado %d", d % 100).alias("text"),
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q = (streaming_exact_dedup(stream)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+SQL_STREAMING_DEDUP = """
+WITH t AS (
+  SELECT printf('d%04d', doc_id) AS doc_id,
+         printf('texto partilhado %d', doc_id % 100) AS text
+  FROM documents)
+SELECT doc_id, text, md5(text) AS text_hash FROM t
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+_QUERIES["streaming_dedup"] = q_streaming_dedup
+_ORACLES["streaming_dedup"] = SQL_STREAMING_DEDUP

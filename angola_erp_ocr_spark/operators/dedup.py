@@ -410,10 +410,28 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         ``n_planes``-bit signature (deterministic md5-derived planes,
         see ``similarity.hyperplane_signature``) splits into
         n_planes/band_bits bands; candidates share ≥ 1 full band value.
-        At cosine 0.95 (θ≈18°, per-plane agreement ≈ 0.9) recall is
-        1-(1-0.9^4)^4 ≈ 0.986 with the defaults. Approximate by design;
-        the exact-within-blocks guarantee of the old label blocking
-        required a label real corpora don't have.
+        Approximate by design; the exact-within-blocks guarantee of the
+        old label blocking required a label real corpora don't have.
+
+    Sizing the bands — the knob that decides whether this survives 10^9+
+    vectors. Per-band match probability at cosine c is
+    (1 - arccos(c)/π)^band_bits; recall = 1 - (1 - p_band)^n_bands; mean
+    bucket population ≈ N / 2^band_bits, and candidate pairs grow with
+    bucket_pop² — the real cost.
+
+      * contract/test defaults (16 planes, 4-bit bands): recall ≈ 0.99 at
+        cos 0.95, but only 16 bucket values per band — fine at 10^3
+        vectors, catastrophic at 10^9 (6×10^7-vector buckets).
+      * production near-identical dedup (cos ≥ 0.99, per-plane agreement
+        ≈ 0.97): 4 bands × 24 bits (96 planes) gives recall
+        1-(1-0.97^24)^4 ≈ 0.93 with 1.7×10^7 bucket values — ~60-vector
+        buckets at 10^9, i.e. ~10^3 pairs/bucket. That is the regime this
+        operator is built for.
+      * looser thresholds (cos 0.9-0.95) make ANY within-block pairing
+        explode combinatorially; there the right scale path is IVF-cell
+        blocking (SemDeDup-style: k-means cells of ~10^3 vectors,
+        pairwise verify within cells) — ``similarity.ivf_assign`` is the
+        building block, with n_cells ≈ N/10^3.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if block_col:

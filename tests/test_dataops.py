@@ -288,3 +288,40 @@ def test_embedding_near_dups_lsh_blocking(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in df.collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.99
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: first occurrence of a text is
+    emitted once; duplicates are suppressed within a batch AND across
+    separate stream runs (state restored from the checkpoint)."""
+    from angola_erp_ocr_spark.streaming.stateful_dedup import (
+        streaming_exact_dedup)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id string, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_exact_dedup(stream)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # run 1: b duplicates a (same batch) — only the min id survives
+    spark.createDataFrame(
+        [("a", "hello world"), ("b", "hello world"), ("c", "other text")],
+        schema).coalesce(1).write.mode("overwrite").parquet(src)
+    run_once()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"a", "c"}
+
+    # run 2 (restart, state from checkpoint): d duplicates a ACROSS runs
+    spark.createDataFrame(
+        [("d", "hello world"), ("e", "fresh text")],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {"a", "c", "e"}
