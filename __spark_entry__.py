@@ -2658,3 +2658,120 @@ QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 
 _QUERIES["streaming_dedup"] = q_streaming_dedup
 _ORACLES["streaming_dedup"] = SQL_STREAMING_DEDUP
+
+
+# ===========================================================================
+# S5 — bank-portal movement source (check_banco.py:221-1505). The Selenium
+# scrape itself is an external connector; its OUTPUT is the D9 row shape
+# (datavalor, numero_documento, numero_operacao, descricao_operacao,
+# montante_akz) modeled as just another input table. This query ingests
+# constructed D9 rows, parses the PT-format amount to an exact decimal and
+# aggregates per value date — the reconciliation read every consumer of
+# the bank source performs.
+# ===========================================================================
+
+def q_s5_bank_movements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    rows = _docs(spark, sf_dir).select(
+        F.format_string("2023-%02d-%02d", 1 + d % 12, 1 + d % 28)
+        .alias("datavalor"),
+        F.format_string("DOC%06d", d).alias("numero_documento"),
+        F.format_string("%09d", 100000000 + d % 899999999)
+        .alias("numero_operacao"),
+        F.when(d % 2 == 0, F.lit("TRF CREDITO RECEBIDO"))
+        .otherwise(F.lit("PAGAMENTO SERVICO")).alias("descricao_operacao"),
+        F.format_string("%d.%03d,%02d", 1 + d % 9, (d * 7) % 1000, d % 100)
+        .alias("montante_akz"),
+    )
+    amount = F.regexp_replace(
+        F.regexp_replace("montante_akz", r"\.", ""), ",", ".")
+    return (
+        rows.withColumn("amount", amount.cast("decimal(18,2)"))
+        .groupBy("datavalor", "descricao_operacao")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mov"),
+             F.sum("amount").cast("decimal(18,2)").cast("double")
+             .alias("total_akz"))
+    )
+
+
+SQL_S5_BANK = """
+WITH mov AS (
+  SELECT printf('2023-%02d-%02d', 1 + doc_id % 12, 1 + doc_id % 28)
+           AS datavalor,
+         CASE WHEN doc_id % 2 = 0 THEN 'TRF CREDITO RECEBIDO'
+              ELSE 'PAGAMENTO SERVICO' END AS descricao_operacao,
+         printf('%d.%03d,%02d', 1 + doc_id % 9, (doc_id * 7) % 1000,
+                doc_id % 100) AS montante_akz
+  FROM documents)
+SELECT datavalor, descricao_operacao,
+       CAST(count(*) AS BIGINT) AS n_mov,
+       CAST(CAST(sum(CAST(replace(replace(montante_akz, '.', ''), ',', '.')
+                          AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+         AS total_akz
+FROM mov GROUP BY datavalor, descricao_operacao
+"""
+
+_QUERIES["s5_bank_movements"] = q_s5_bank_movements
+_ORACLES["s5_bank_movements"] = SQL_S5_BANK
+
+
+def q_raster_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1–I4 as REAL numpy raster ops (not stubs): synthesize one raster
+    page per doc with a known skew (−4°..+4° in 0.5° steps), salt noise,
+    and a 90°-rotated subset; run Otsu → opening → orientation fix →
+    projection-profile deskew; assert per page that the detected skew is
+    within 0.5° of the applied one and the orientation was recovered.
+    Self-checking with a constant oracle: every page must pass."""
+    import pandas as pd
+    import numpy as np
+
+    from angola_erp_ocr_spark.operators.raster import (
+        encode_raster, decode_raster, preprocess_pages, render_page)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            refs, blobs, skews, orients = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                skew = (did % 17 - 8) * 0.5
+                blob = render_page(skew_deg=skew, noise=40, seed=did)
+                rot = did % 6 == 0
+                if rot:
+                    img = decode_raster(blob)
+                    blob = encode_raster(np.ascontiguousarray(
+                        np.rot90(img, -1)))
+                refs.append(f"raster://doc/{did}")
+                blobs.append(bytearray(blob))
+                skews.append(skew)
+                orients.append(90 if rot else 0)
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs,
+                                "applied_skew": skews,
+                                "applied_orient": orients})
+
+    pages = build_df = docs.mapInPandas(
+        build, schema=("media_ref string, payload binary, "
+                       "applied_skew double, applied_orient int"))
+    feats = preprocess_pages(pages)
+    joined = feats.join(
+        build_df.select("media_ref", "applied_skew", "applied_orient"),
+        "media_ref")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum((F.abs(F.col("skew_deg") - F.col("applied_skew")) <= 0.5)
+              .cast("int")).cast("long").alias("n_skew_ok"),
+        F.sum((F.col("orientation") == F.col("applied_orient")).cast("int"))
+        .cast("long").alias("n_orient_ok"),
+    )
+
+
+SQL_RASTER_PREPROCESS = """
+SELECT CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_skew_ok,
+       CAST(count(*) AS BIGINT) AS n_orient_ok
+FROM documents
+"""
+
+_QUERIES["raster_preprocess"] = q_raster_preprocess
+_ORACLES["raster_preprocess"] = SQL_RASTER_PREPROCESS

@@ -289,3 +289,36 @@ def test_csv_debug_sink_roundtrip(spark, tmp_path):
     back = spark.read.option("header", "true").csv(out)
     assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
         ("d1", "ola"), ("d2", "mundo")]
+
+
+def test_raster_preprocessing_ops(spark):
+    """I1–I4 real numpy ops: Otsu separates ink, opening removes salt,
+    skew is detected within 0.25° and deskew flattens it, 90°-rotation
+    is recognized; the Spark stage emits the same numbers."""
+    import numpy as np
+
+    from angola_erp_ocr_spark.operators import raster as R
+
+    blob = R.render_page(skew_deg=2.5, noise=60, seed=9)
+    img = R.decode_raster(blob)
+    mask, t = R.otsu_threshold(img)
+    assert 0 <= t < 128 and 0.05 < mask.mean() < 0.5   # I1
+    cleaned = R.opening(mask, 3)
+    assert cleaned.sum() < mask.sum()                   # I2 removed salt
+    fixed, ang = R.deskew(img, cleaned)                 # I3
+    assert abs(ang - 2.5) <= 0.25
+    refixed_mask, _ = R.otsu_threshold(fixed)
+    assert abs(R.estimate_skew_deg(R.opening(refixed_mask, 3))) <= 0.25
+    assert R.correct_orientation(cleaned) == 0          # I4
+    assert R.correct_orientation(np.rot90(cleaned)) == 90
+
+    pages = spark.createDataFrame(
+        [("p1", bytearray(blob)),
+         ("p2", bytearray(R.encode_raster(
+             np.ascontiguousarray(np.rot90(R.decode_raster(blob), -1)))))],
+        "media_ref string, payload binary")
+    got = {r["media_ref"]: r for r in R.preprocess_pages(pages).collect()}
+    assert abs(got["p1"]["skew_deg"] - 2.5) <= 0.25
+    assert got["p1"]["orientation"] == 0
+    assert got["p2"]["orientation"] == 90
+    assert abs(got["p2"]["skew_deg"] - 2.5) <= 0.25     # recovered after rot
