@@ -130,3 +130,60 @@ def test_extract_idempotent_rerun(spark):
     am = {r["doc_id"]: r["spans"] for r in a}
     bm = {r["doc_id"]: r["spans"] for r in b}
     assert am == bm
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed join: zero shuffle on either side — the lever
+    that removes the dominant exchange from recurring big joins at scale."""
+    from pyspark.sql import functions as F
+
+    from angola_erp_ocr_spark.plans.scale import bucketed_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 3).alias("v1"))
+        b = spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 7).alias("v2"))
+        write_bucketed(a, "t_bucket_a", "doc_id", 8)
+        write_bucketed(b, "t_bucket_b", "doc_id", 8)
+        j = bucketed_join(spark, "t_bucket_a", "t_bucket_b", "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 5000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from angola_erp_ocr_spark.plans.scale import desalt, salted_repartition
+
+    # one pathological key owning 90% of rows
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold"))
+        .alias("k"), F.col("id"))
+    out = salted_repartition(df, "k", n_salts=8, partitions=8)
+    sizes = (out.withColumn("p", F.spark_partition_id())
+             .groupBy("p").count().collect())
+    biggest = max(r["count"] for r in sizes)
+    assert biggest < 9000 * 0.5, sizes  # the hot key no longer owns one task
+    assert desalt(out).columns == ["k", "id"]
+    assert desalt(out).count() == 10000
+
+
+def test_flagship_scan_prunes_columns(spark):
+    """Column pruning reaches the parquet scan: docs_by_source reads only
+    the three referenced columns, not the whole documents schema."""
+    import __spark_entry__ as e
+
+    df = e.queries()["docs_by_source"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"source", "n_chars", "lang"}, cols
