@@ -128,6 +128,13 @@ def decode_page_columns(blob: bytes) -> tuple[np.ndarray, list[str]]:
     raise ValueError("not a glyph grid")
 
 
+def grid_end(hdr: np.ndarray) -> int:
+    """payload_end from an ALREADY-DECODED header array — the hot path
+    (``ocr_lines``) has the header in hand and must not re-frombuffer
+    the blob just to locate trailing extras."""
+    return _HDR.size + len(hdr) * HEADER_DTYPE.itemsize + int(hdr["tlen"].sum())
+
+
 def payload_end(blob: bytes) -> int:
     """Exact end offset of the glyph-grid content (GG02 only). Trailing
     bytes after this offset are not part of the word grid — the page

@@ -137,6 +137,27 @@ def embed_qr(page_blob: bytes, payload: str) -> bytes:
     return page_blob + encode_qr(payload)
 
 
+def extract_qr_at(blob: bytes, off: int) -> str | None:
+    """Parse the QR container at a known offset (corrupt checksum → None).
+    The fast path for callers that already decoded the glyph header and
+    know exactly where the grid ends (``glyph.grid_end``)."""
+    if len(blob) < off + _QR_STRUCT.size + 1:
+        return None
+    rest = blob[off:]
+    if rest[:4] != QR_MAGIC:
+        return None
+    _, n = _QR_STRUCT.unpack_from(rest, 0)
+    if len(rest) < _QR_STRUCT.size + n + 1:
+        return None
+    body = rest[_QR_STRUCT.size:_QR_STRUCT.size + n]
+    chk = 0
+    for b in body:
+        chk ^= b
+    if chk != rest[_QR_STRUCT.size + n]:
+        return None
+    return body.decode("utf-8")
+
+
 def extract_qr(blob: bytes, strict: bool = False) -> str | None:
     """Decode the QR payload of a page blob, or None when absent.
 
@@ -152,19 +173,7 @@ def extract_qr(blob: bytes, strict: bool = False) -> str | None:
             off = payload_end(blob)
         except (ValueError, struct.error):
             return None
-        rest = blob[off:]
-        if len(rest) < _QR_STRUCT.size + 1 or rest[:4] != QR_MAGIC:
-            return None
-        _, n = _QR_STRUCT.unpack_from(rest, 0)
-        body = rest[_QR_STRUCT.size:_QR_STRUCT.size + n]
-        if len(rest) < _QR_STRUCT.size + n + 1:
-            return None
-        chk = 0
-        for b in body:
-            chk ^= b
-        if chk != rest[_QR_STRUCT.size + n]:
-            return None
-        return body.decode("utf-8")
+        return extract_qr_at(blob, off)
     if HAS_PYZBAR:  # pragma: no cover - real decoder path
         from PIL import Image
         import io

@@ -174,8 +174,8 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
     import numpy as np
     from pyspark.sql import types as T
 
-    from ..glyph import decode_page_columns
-    from .multimodal import extract_qr
+    from ..glyph import decode_page_columns, grid_end
+    from .multimodal import extract_qr_at
 
     base = T.StructType([
         T.StructField("media_ref", T.StringType(), False),
@@ -200,7 +200,14 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
             for media_ref, page_no, blob, *extra in rows:
                 blob = bytes(blob)
                 hdr, texts = decode_page_columns(blob)
-                qr = extract_qr(blob) if emit_qr else None
+                # QR probe reuses the decoded header: len==grid_end (the
+                # overwhelmingly common no-QR case) costs one tlen sum,
+                # no second frombuffer pass over the blob
+                qr = None
+                if emit_qr:
+                    end = grid_end(hdr)
+                    if len(blob) > end:
+                        qr = extract_qr_at(blob, end)
                 if qr is not None:
                     heads.append(np.array(
                         [[QR_BLOCK, 0, 0, 0, QR_Y]], dtype=np.int32))
@@ -209,9 +216,11 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                     pages.append(np.full(1, int(page_no), dtype=np.int32))
                     for c, v in zip(passthrough, extra):
                         extras[c].append(np.full(1, v, dtype=object))
-                # conf_signed: the encoded 255 sentinel means conf=-1, which
-                # must NOT pass the readable gate as a uint8 255 would.
-                keep = np.nonzero(conf_signed(hdr["conf"]) > conf_threshold)[0]
+                # the 255-encoded conf=-1 sentinel must NOT pass the gate;
+                # two uint8 compares instead of a conf_signed int32 copy
+                # (equivalent for any threshold ≥ 0 — pytest-pinned)
+                keep = np.nonzero((hdr["conf"] > conf_threshold)
+                                  & (hdr["conf"] != 255))[0]
                 if len(keep) == 0:
                     continue
                 h = hdr[keep]
