@@ -2728,7 +2728,9 @@ def q_raster_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angola_erp_ocr_spark.operators.raster import (
         encode_raster, decode_raster, preprocess_pages, render_page)
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # sf0.01 parquet is one file = one partition; repartition so the
+    # render+preprocess python work parallelizes across cores
+    docs = _docs(spark, sf_dir).select("doc_id").repartition(16)
 
     def build(batches):
         for pdf in batches:
@@ -2750,13 +2752,18 @@ def q_raster_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "applied_skew": skews,
                                 "applied_orient": orients})
 
-    pages = build_df = docs.mapInPandas(
+    pages = docs.mapInPandas(
         build, schema=("media_ref string, payload binary, "
                        "applied_skew double, applied_orient int"))
     feats = preprocess_pages(pages)
-    joined = feats.join(
-        build_df.select("media_ref", "applied_skew", "applied_orient"),
-        "media_ref")
+    # applied values re-derived from media_ref arithmetic (pure exprs) —
+    # no join back to the builder, so the blobs are built exactly once
+    did = F.regexp_extract("media_ref", r"raster://doc/(\d+)", 1).cast("long")
+    joined = feats.withColumn(
+        "applied_skew", ((did % 17 - 8) * 0.5)
+    ).withColumn(
+        "applied_orient", F.when(did % 6 == 0, 90).otherwise(0)
+    )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_pages"),
         F.sum((F.abs(F.col("skew_deg") - F.col("applied_skew")) <= 0.5)

@@ -269,19 +269,26 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
         F.floor(F.col("sh") / F.pow(F.lit(2.0), F.col("band") * width))
         .cast("bigint") % (1 << width),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    # column-renamed selves, NOT DataFrame aliases: a self-join of `.alias`
+    # twins of the same plan intermittently fails attribute binding in the
+    # post-join expressions (ATTRIBUTE_NOT_FOUND on sh#N) — renaming the
+    # columns gives the two sides disjoint attribute sets up front
+    left = exploded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        "band", "band_val")
+    right = exploded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        "band", "band_val")
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     hamming = F.aggregate(
         F.sequence(F.lit(0), F.lit(31)),
         F.lit(0),
         lambda acc, j: acc + (F.floor(xor / F.pow(F.lit(2.0), j)) % 2).cast("int"),
     )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                hamming.alias("hamming"))
+        left.join(right, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
@@ -456,19 +463,21 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
             .cast("bigint") % (1 << band_bits),
         ).drop("sig")
         join_keys = ["band", "blk"]
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    for kcol in join_keys:
-        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    # column-renamed selves (see simhash_near_dups: `.alias` self-joins
+    # intermittently fail attribute binding on post-join expressions)
+    left = exploded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), *join_keys)
+    right = exploded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), *join_keys)
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    na = F.sqrt(F.aggregate(F.col("v_a"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("v_b"), F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.round(dot / (na * nb), 6).alias("cosine"))
+        left.join(right, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .groupBy("id_a", "id_b")           # a pair can match in >1 band
         .agg(F.min("cosine").alias("cosine"))

@@ -187,3 +187,73 @@ def test_flagship_scan_prunes_columns(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"source", "n_chars", "lang"}, cols
+
+
+# ---------------------------------------------------------------------------
+# Round-2 invariants: banded-SimHash losslessness and connected-components
+# correctness, hammered with generated inputs.
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_docs_strategy = st.lists(
+    st.lists(_word, min_size=1, max_size=8).map(" ".join),
+    min_size=2, max_size=10)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_docs_strategy)
+def test_simhash_banding_lossless_property(spark, texts):
+    """Pigeonhole guarantee holds on arbitrary corpora: banded pairs ==
+    brute-force pairs at hamming ≤ 3."""
+    from angola_erp_ocr_spark.operators import dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    banded = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()}
+    s = docs.select(F.col("doc_id").alias("id"),
+                    dedup.simhash32(F.col("text")).alias("sh"))
+    shs = {r["id"]: r["sh"] for r in s.collect()}
+    brute = {}
+    ids = sorted(shs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(shs[a] ^ shs[b]).count("1")
+            if h <= 3:
+                brute[(a, b)] = h
+    assert banded == brute
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=12))
+def test_connected_components_matches_union_find(spark, edges):
+    """Spark min-label propagation == a pure-python union-find reference."""
+    from angola_erp_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for n in (a, b):
+            want[n] = find(n)
+    # normalize union-find roots to min-member (the operator's label)
+    members: dict[int, list[int]] = {}
+    for n, r in want.items():
+        members.setdefault(r, []).append(n)
+    want = {n: min(members[r]) for n, r in want.items()}
+    assert got == want
