@@ -73,17 +73,14 @@ def otsu_threshold(img: np.ndarray) -> tuple[np.ndarray, int]:
 # dilate/opening). dilate = any over the k×k window, erode = all.
 # ---------------------------------------------------------------------------
 
-def _window_reduce(mask: np.ndarray, k: int, is_dilate: bool) -> np.ndarray:
+def dilate(mask: np.ndarray, k: int = 3) -> np.ndarray:
+    """max filter (OR over the k×k window); border padded False so
+    dilation cannot invent ink outside the page."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     pad = k // 2
-    padded = np.pad(mask, pad, constant_values=is_dilate is True and False)
-    win = sliding_window_view(padded, (k, k))
-    return win.any(axis=(2, 3)) if is_dilate else win.all(axis=(2, 3))
-
-
-def dilate(mask: np.ndarray, k: int = 3) -> np.ndarray:
-    return _window_reduce(mask, k, True)
+    padded = np.pad(mask, pad, constant_values=False)
+    return sliding_window_view(padded, (k, k)).any(axis=(2, 3))
 
 
 def erode(mask: np.ndarray, k: int = 3) -> np.ndarray:

@@ -32,16 +32,37 @@ def _manifest_dir(table_dir: str) -> str:
 
 
 def committed_snapshots(table_dir: str) -> list[dict]:
-    """Manifests in commit order (sequence-numbered)."""
+    """Manifests in commit order (sequence-numbered).
+
+    A manifest file that exists but holds no valid JSON yet is an
+    in-flight (or abandoned) seq CLAIM from a concurrent
+    ``snapshot_append`` — not a commit; it is skipped. (The claim's
+    existence still blocks its seq from reallocation via the filename
+    scan in ``_next_seq``.)"""
     mdir = _manifest_dir(table_dir)
     if not os.path.isdir(mdir):
         return []
     out = []
     for name in sorted(os.listdir(mdir)):
         if name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                out.append(json.load(f))
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                continue
     return out
+
+
+def _next_seq(mdir: str) -> int:
+    """Next free sequence number from the manifest FILENAMES — claimed-
+    but-unwritten files count, so a racing writer never spins on a seq
+    another writer holds."""
+    seqs = [-1]
+    for name in os.listdir(mdir):
+        stem = name.split(".", 1)[0].split("-", 1)[0]
+        if stem.isdigit():
+            seqs.append(int(stem))
+    return max(seqs) + 1
 
 
 def snapshot_append(df: DataFrame, table_dir: str,
@@ -63,8 +84,7 @@ def snapshot_append(df: DataFrame, table_dir: str,
     # (max+1, NOT count: after expiry, count would reuse a live sequence
     # number and corrupt the lexicographic commit order.)
     while True:
-        snaps = committed_snapshots(table_dir)
-        seq = (max(s["seq"] for s in snaps) + 1) if snaps else 0
+        seq = _next_seq(_manifest_dir(table_dir))
         manifest = {
             "seq": seq,
             "snapshot_id": run_id,

@@ -247,3 +247,28 @@ def test_read_snapshots_latest_wins(spark, tmp_path):
     got = {r["doc_id"]: r["v"]
            for r in read_snapshots_latest(spark, table).collect()}
     assert got == {"a": 1, "b": 2}
+
+
+def test_snapshot_seq_claim_is_atomic(spark, tmp_path):
+    """A concurrent writer's in-flight claim (manifest file exists, JSON
+    not yet written) must neither crash readers nor be reallocated."""
+    import os
+
+    from angola_erp_ocr_spark.plans.snapshot import (
+        committed_snapshots, read_snapshots_latest, snapshot_append)
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([("d1", 1)], ["doc_id", "v"])
+    m0 = snapshot_append(df, table)
+    assert m0["seq"] == 0
+
+    # simulate a racing writer that claimed seq 1 but hasn't written yet
+    os.makedirs(f"{table}/manifests", exist_ok=True)
+    open(f"{table}/manifests/000001.json", "w").close()
+
+    assert [m["seq"] for m in committed_snapshots(table)] == [0]  # no crash
+    m2 = snapshot_append(spark.createDataFrame([("d1", 2)], ["doc_id", "v"]),
+                         table)
+    assert m2["seq"] == 2       # claimed seq 1 was NOT reallocated
+    latest = read_snapshots_latest(spark, table)
+    assert latest.first()["v"] == 2   # latest-wins unaffected
