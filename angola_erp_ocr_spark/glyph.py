@@ -128,6 +128,62 @@ def decode_page_columns(blob: bytes) -> tuple[np.ndarray, list[str]]:
     raise ValueError("not a glyph grid")
 
 
+def decode_batch_columns(blobs) -> tuple:
+    """Vectorized GG02 decode of MANY pages at once — the OCR stage's hot
+    path (``ocr.ocr_lines``). Amortizes numpy call overhead over the whole
+    Arrow batch: per-page decode costs ~75 µs in tiny-array numpy calls;
+    this path does ONE fancy-gather + ONE segmented cumsum for the batch.
+
+    ``blobs``: sequence of P page blobs (bytes). ALL must be GG02 —
+    raises ValueError on any other magic (caller falls back to the
+    per-page ``decode_page_columns`` loop, which also handles GG01).
+
+    Returns ``(word_page, hdr, tstart, tend, joined, rel_end)``:
+      * ``word_page`` int64[W] — index into ``blobs`` for each word
+      * ``hdr``       HEADER_DTYPE[W] — all pages' word records
+      * ``tstart``/``tend`` int64[W] — word-text byte ranges in ``joined``
+      * ``joined``    bytes — the concatenated blobs
+      * ``rel_end``   int64[P] — per-page payload end offset (relative to
+        the page start), i.e. ``payload_end``; trailing bytes beyond it
+        are page extras (QR container, ``multimodal.embed_qr``)
+    """
+    P = len(blobs)
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=P)
+    if P == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.empty(0, dtype=HEADER_DTYPE), z, z, b"", z
+    joined = b"".join(blobs)
+    big = np.frombuffer(joined, dtype=np.uint8)
+    off = np.zeros(P, dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    if lens.min() < _HDR.size or not (
+        (big[off] == MAGIC[0]).all() and (big[off + 1] == MAGIC[1]).all()
+        and (big[off + 2] == MAGIC[2]).all() and (big[off + 3] == MAGIC[3]).all()
+    ):
+        raise ValueError("decode_batch_columns requires all-GG02 blobs")
+    counts = big[off + 4].astype(np.int64) | (big[off + 5].astype(np.int64) << 8)
+    W = int(counts.sum())
+    first = np.zeros(P, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    word_page = np.repeat(np.arange(P, dtype=np.int64), counts)
+    within = np.arange(W, dtype=np.int64) - first[word_page]
+    hdr_start = off + _HDR.size
+    rec_start = hdr_start[word_page] + HEADER_DTYPE.itemsize * within
+    # (W, 16) fancy-gather → contiguous → reinterpret as header records
+    hdr = big[rec_start[:, None]
+              + np.arange(HEADER_DTYPE.itemsize, dtype=np.int64)].ravel() \
+        .view(HEADER_DTYPE)
+    tlen = hdr["tlen"].astype(np.int64)
+    gcum = np.concatenate(([0], np.cumsum(tlen)))      # global prefix sums
+    text_base = hdr_start + HEADER_DTYPE.itemsize * counts
+    # segmented (per-page) prefix of tlen = global prefix − page's base
+    tstart = text_base[word_page] + (gcum[:-1] - gcum[first[word_page]])
+    tend = tstart + tlen
+    page_tbytes = gcum[first + counts] - gcum[first]
+    rel_end = _HDR.size + HEADER_DTYPE.itemsize * counts + page_tbytes
+    return word_page, hdr, tstart, tend, joined, rel_end
+
+
 def grid_end(hdr: np.ndarray) -> int:
     """payload_end from an ALREADY-DECODED header array — the hot path
     (``ocr_lines``) has the header in hand and must not re-frombuffer

