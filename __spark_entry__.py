@@ -1423,20 +1423,85 @@ FROM documents GROUP BY source
 _GOLDEN_DOCS = 120
 
 
-def q_ocr_decode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from angola_erp_ocr_spark.operators.ocr import ocr_words
-    from angola_erp_ocr_spark.synth import build_corpus
+def _glyph_fixture_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic glyph pages derived from the documents table (same
+    pattern as q_qr_decode): doc_id → 3..7 words with arithmetic fields,
+    incl. below-threshold confidences and the conf=-1 Tesseract sentinel
+    on every 7th doc. The Spark side round-trips the REAL GG02
+    encode→binary→decode; the oracle recomputes the expectation purely
+    arithmetically, so the codec itself is what the value-hash pins."""
+    import pandas as pd
 
-    _raw, _golden, media = build_corpus(spark, _GOLDEN_DOCS)
-    return ocr_words(media)
+    from angola_erp_ocr_spark.glyph import encode_page
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            refs, pages, blobs = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                words = [dict(
+                    x=10 + 50 * (i % 3), y=20 + 14 * (i // 3),
+                    w=8 * (1 + (d + i) % 4), h=12,
+                    conf=(-1 if i == 0 and d % 7 == 0
+                          else 20 + (d + 17 * i) % 80),
+                    block=0, par=0, line=i // 3, word_idx=i % 3,
+                    text=f"w{d % 100}_{i}",
+                ) for i in range(3 + d % 5)]
+                refs.append(f"page://doc/{d}")
+                pages.append(d % 3)
+                blobs.append(bytearray(encode_page(words)))
+            yield pd.DataFrame({"media_ref": refs, "page_no": pages,
+                                "glyph_grid": blobs})
+
+    return docs.mapInPandas(
+        build, schema="media_ref string, page_no int, glyph_grid binary")
+
+
+# Both engines' word table for the fixture above (DuckDB side).
+_SQL_GLYPH_WORDS = """
+SELECT printf('page://doc/%d', doc_id) AS media_ref,
+       CAST(doc_id % 3 AS INTEGER) AS page_no,
+       CAST(0 AS INTEGER) AS block, CAST(0 AS INTEGER) AS par,
+       CAST(u.i // 3 AS INTEGER) AS line,
+       CAST(u.i % 3 AS INTEGER) AS word_idx,
+       printf('w%d_%d', doc_id % 100, u.i) AS text,
+       CAST(CASE WHEN u.i = 0 AND doc_id % 7 = 0 THEN -1
+                 ELSE 20 + (doc_id + 17 * u.i) % 80 END AS INTEGER) AS conf,
+       CAST(10 + 50 * (u.i % 3) AS INTEGER) AS x,
+       CAST(20 + 14 * (u.i // 3) AS INTEGER) AS y,
+       CAST(8 * (1 + (doc_id + u.i) % 4) AS INTEGER) AS w,
+       CAST(12 AS INTEGER) AS h
+FROM documents, (SELECT unnest(range(0, 8)) AS i) u
+WHERE u.i < 3 + doc_id % 5
+"""
+
+SQL_OCR_DECODE_WORDS = _SQL_GLYPH_WORDS
+
+SQL_OCR_PAGE_CONFIDENCE = f"""
+WITH words AS ({_SQL_GLYPH_WORDS})
+SELECT media_ref, page_no, avg(conf) AS mean_conf,
+       CAST(count(*) FILTER (conf > 30) AS BIGINT) AS readable_words,
+       count(*) FILTER (conf > 30) > 0 AS quality_ok
+FROM words WHERE conf <> -1 GROUP BY media_ref, page_no
+"""
+
+
+def q_ocr_decode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 (util/ocr_pdf.py:377-380 image_to_data): glyph pages → word/box
+    stream, oracle-checked via the arithmetic fixture twin."""
+    from angola_erp_ocr_spark.operators.ocr import ocr_words
+
+    return ocr_words(_glyph_fixture_pages(spark, sf_dir))
 
 
 def q_ocr_page_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7/A1 (util/ocr_pdf.py:222-240): per-page mean conf excluding the
+    -1 sentinel, readable-word gate."""
     from angola_erp_ocr_spark.operators.ocr import ocr_words, page_confidence
-    from angola_erp_ocr_spark.synth import build_corpus
 
-    _raw, _golden, media = build_corpus(spark, _GOLDEN_DOCS)
-    return page_confidence(ocr_words(media))
+    return page_confidence(ocr_words(_glyph_fixture_pages(spark, sf_dir)))
 
 
 def q_interleaved_golden_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1528,6 +1593,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "ocr_decode_words": SQL_OCR_DECODE_WORDS,
+    "ocr_page_confidence": SQL_OCR_PAGE_CONFIDENCE,
     "flagship_extract": SQL_FLAGSHIP,
     "p6_normalize": SQL_P6,
     "p1_cash_extract": SQL_P1,
@@ -2075,8 +2142,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_n=2)
 
 
+SQL_MULTIMODAL_FRAMES = """
+WITH p AS (
+  SELECT printf('video://doc/%d', doc_id) AS media_ref,
+         repeat(text, 8) AS payload
+  FROM documents)
+SELECT media_ref, CAST(u.i AS INTEGER) AS frame_no,
+       sha256(payload || CAST(u.i AS VARCHAR)) AS frame_sha
+FROM p,
+     UNNEST(range(0, greatest(1, octet_length(encode(payload)) // 256), 2))
+       AS u(i)
+"""
+
 _QUERIES["multimodal_decode"] = q_multimodal_decode
 _QUERIES["multimodal_frames"] = q_multimodal_frames
+_ORACLES["multimodal_frames"] = SQL_MULTIMODAL_FRAMES
 
 
 # ===========================================================================

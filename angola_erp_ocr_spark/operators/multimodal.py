@@ -213,7 +213,10 @@ def sample_frames(df: DataFrame, every_n: int = 10, ref_col: str = "media_ref",
                   bytes_col: str = "payload") -> DataFrame:
     """Video frame sampling plumbing: emits one row per sampled frame.
     Frame decode is the fake digest (no av/ffmpeg here); the batch→multi-row
-    fan-out shape is the real contract."""
+    fan-out shape is the real contract. The digest salts with the DECIMAL
+    frame number (not raw LE bytes) so the fake has an exact cross-engine
+    SQL twin — sha256(payload || CAST(frame_no AS VARCHAR)) — and the
+    contract query can be oracle-checked."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -222,7 +225,7 @@ def sample_frames(df: DataFrame, every_n: int = 10, ref_col: str = "media_ref",
                 blob = bytes(blob)
                 n_frames = max(1, len(blob) // 256)
                 for f in range(0, n_frames, every_n):
-                    sha = hashlib.sha256(blob + f.to_bytes(4, "little")).hexdigest()
+                    sha = hashlib.sha256(blob + str(f).encode()).hexdigest()
                     rows.append(dict(media_ref=ref, frame_no=f, frame_sha=sha))
             yield pd.DataFrame(rows, columns=["media_ref", "frame_no", "frame_sha"])
 
