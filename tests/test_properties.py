@@ -257,3 +257,58 @@ def test_connected_components_matches_union_find(spark, edges):
         members.setdefault(r, []).append(n)
     want = {n: min(members[r]) for n, r in want.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# GG02 batch decode (glyph.decode_batch_columns) ≡ per-page decode — the
+# OCR hot path's vectorized gather must agree with the reference per-page
+# frombuffer decode on arbitrary page mixes (incl. empty pages, max-len
+# words, the conf=-1 sentinel, and trailing page extras like QR blobs).
+# ---------------------------------------------------------------------------
+
+_word = st.fixed_dictionaries({
+    "x": st.integers(0, 65535), "y": st.integers(0, 65535),
+    "w": st.integers(0, 65535), "h": st.integers(0, 65535),
+    "conf": st.one_of(st.just(-1), st.integers(0, 100)),
+    "block": st.integers(0, 255), "par": st.integers(0, 255),
+    "line": st.integers(0, 255), "word_idx": st.integers(0, 65535),
+    "text": st.text(alphabet="aã0 .Ç", min_size=0, max_size=6),
+})
+
+_pages = st.lists(st.lists(_word, min_size=0, max_size=9),
+                  min_size=1, max_size=6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pages=_pages, extra=st.binary(max_size=8))
+def test_batch_decode_matches_per_page(pages, extra):
+    import numpy as np
+
+    from angola_erp_ocr_spark.glyph import (
+        decode_batch_columns, decode_page_columns, encode_page, grid_end)
+
+    blobs = [encode_page(ws) + (extra if i % 2 else b"")
+             for i, ws in enumerate(pages)]
+    word_page, hdr, tstart, tend, joined, rel_end = \
+        decode_batch_columns(blobs)
+    off = 0
+    for i, blob in enumerate(blobs):
+        h_ref, t_ref = decode_page_columns(blob)
+        sel = word_page == i
+        assert (hdr[sel] == h_ref).all()
+        got_texts = [joined[s:e].decode("utf-8")
+                     for s, e in zip(tstart[sel], tend[sel])]
+        assert got_texts == t_ref
+        assert int(rel_end[i]) == grid_end(h_ref)
+        off += len(blob)
+
+
+def test_batch_decode_rejects_legacy_gg01():
+    import pytest as _pytest
+
+    from angola_erp_ocr_spark.glyph import decode_batch_columns, encode_page
+
+    good = encode_page([dict(x=1, y=2, w=3, h=4, conf=50, block=0, par=0,
+                             line=0, word_idx=0, text="ok")])
+    with _pytest.raises(ValueError):
+        decode_batch_columns([good, b"GG01\x00\x00legacy"])
