@@ -58,6 +58,15 @@ _U16_FIELDS = ("x", "y", "w", "h", "word_idx")
 _U8_FIELDS = ("block", "par", "line")
 
 
+class NotBatchDecodable(ValueError):
+    """The batch contains a page the vectorized GG02 path cannot handle
+    (non-GG02 magic, or a truncated/count-corrupted blob). Callers fall
+    back to the per-page ``decode_page_columns`` loop, which handles GG01
+    and surfaces the precise malformed page. A dedicated type so callers
+    do not accidentally swallow unrelated ``ValueError`` subclasses (e.g.
+    ``UnicodeDecodeError`` from the text-decode step)."""
+
+
 def conf_signed(conf: np.ndarray) -> np.ndarray:
     """Decoded uint8 conf column → int32 with the -1 sentinel restored."""
     c = conf.astype(np.int32)
@@ -112,6 +121,8 @@ def decode_page_columns(blob: bytes) -> tuple[np.ndarray, list[str]]:
         start = _HDR.size + n * HEADER_DTYPE.itemsize
         ends = start + np.cumsum(hdr["tlen"].astype(np.int64))
         starts = ends - hdr["tlen"]
+        if n and int(ends[-1]) > len(blob):  # slices would silently shorten
+            raise ValueError("GG02 blob truncated in text region")
         texts = [blob[s:e].decode("utf-8") for s, e in zip(starts, ends)]
         return hdr, texts
     if magic == MAGIC_V1:  # legacy row-interleaved
@@ -160,8 +171,15 @@ def decode_batch_columns(blobs) -> tuple:
         (big[off] == MAGIC[0]).all() and (big[off + 1] == MAGIC[1]).all()
         and (big[off + 2] == MAGIC[2]).all() and (big[off + 3] == MAGIC[3]).all()
     ):
-        raise ValueError("decode_batch_columns requires all-GG02 blobs")
+        raise NotBatchDecodable("decode_batch_columns requires all-GG02 blobs")
     counts = big[off + 4].astype(np.int64) | (big[off + 5].astype(np.int64) << 8)
+    # A count-corrupted blob whose declared header region runs past its own
+    # length would otherwise fancy-gather bytes from the FOLLOWING page
+    # (silent garbage words) — or IndexError off the end if it is the last
+    # page. Validate before the gather so malformed input fails loudly and
+    # takes the per-page fallback, which pinpoints the bad page.
+    if ((_HDR.size + HEADER_DTYPE.itemsize * counts) > lens).any():
+        raise NotBatchDecodable("GG02 blob truncated in header region")
     W = int(counts.sum())
     first = np.zeros(P, dtype=np.int64)
     np.cumsum(counts[:-1], out=first[1:])
@@ -181,6 +199,11 @@ def decode_batch_columns(blobs) -> tuple:
     tend = tstart + tlen
     page_tbytes = gcum[first + counts] - gcum[first]
     rel_end = _HDR.size + HEADER_DTYPE.itemsize * counts + page_tbytes
+    # Text region truncated: the word-text slices (tstart/tend) would
+    # silently gather bytes from the next page. Fail loudly → per-page
+    # fallback raises the precise error for the malformed blob.
+    if (rel_end > lens).any():
+        raise NotBatchDecodable("GG02 blob truncated in text region")
     return word_page, hdr, tstart, tend, joined, rel_end
 
 

@@ -174,7 +174,8 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
     import numpy as np
     from pyspark.sql import types as T
 
-    from ..glyph import decode_batch_columns, decode_page_columns, grid_end
+    from ..glyph import (NotBatchDecodable, decode_batch_columns,
+                         decode_page_columns, grid_end)
     from .multimodal import extract_qr_at
 
     base = T.StructType([
@@ -270,8 +271,13 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
             try:
                 yield run_batch(pdf)
                 continue
-            except ValueError:
-                pass  # legacy GG01 page in the batch → per-page loop
+            except NotBatchDecodable:
+                # legacy GG01 / malformed page in the batch → per-page
+                # loop (which handles GG01 and raises the real error for
+                # truncated blobs). ONLY this type: a bare ValueError
+                # would also swallow UnicodeDecodeError from text decode
+                # and re-run the whole batch just to re-raise it.
+                pass
             refs, pages, heads, txts = [], [], [], []
             extras: dict[str, list] = {c: [] for c in passthrough}
             rows = zip(pdf["media_ref"], pdf["page_no"], pdf["glyph_grid"],

@@ -1,0 +1,113 @@
+"""Per-stage wall/compute decomposition from Spark event logs.
+
+The scaling gate (BASELINE.json: N→4N efficiency ≥ 0.8) needs STAGE-level
+evidence, not just end-to-end wall: on one box the shuffle/sort tail is
+DRAM-bandwidth-bound in a way 4N real executors (each bringing its own
+memory controllers) would not be, so the honest decomposition separates
+the map/OCR stage's scaling from the tail's (VERDICT r2 task 2). Spark
+writes one JSON event per line when ``spark.eventLog.enabled`` is true;
+``SparkListenerStageCompleted`` carries submission/completion times plus
+the internal metric accumulables (executor run time, shuffle bytes) — no
+listener registration or UI needed, works under ``spark-submit``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+_ACC = {
+    "internal.metrics.executorRunTime": "exec_run_ms",
+    "internal.metrics.executorCpuTime": "exec_cpu_ns",
+    "internal.metrics.shuffle.write.bytesWritten": "shuffle_write_bytes",
+    "internal.metrics.shuffle.read.localBytesRead": "shuffle_read_local",
+    "internal.metrics.shuffle.read.remoteBytesRead": "shuffle_read_remote",
+}
+
+
+def event_log_path(spark) -> str | None:
+    """Resolve this app's event-log file (handles the .inprogress suffix)."""
+    conf = spark.sparkContext.getConf()
+    if conf.get("spark.eventLog.enabled", "false") != "true":
+        return None
+    d = conf.get("spark.eventLog.dir", "/tmp/spark-events")
+    if d.startswith("file:"):
+        d = d[len("file:"):]
+        while d.startswith("//"):
+            d = d[1:]
+    app_id = spark.sparkContext.applicationId
+    for suffix in ("", ".inprogress"):
+        p = os.path.join(d, app_id + suffix)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def parse_stages(log_path: str, t_min_ms: int | None = None,
+                 t_max_ms: int | None = None) -> list[dict[str, Any]]:
+    """Completed stages (optionally windowed by submission time, epoch ms).
+
+    Returns rows sorted by submission time:
+        {stage_id, name, tasks, submitted_ms, wall_ms, exec_run_ms,
+         exec_cpu_ms, shuffle_write_mb, shuffle_read_mb}
+    """
+    out: list[dict[str, Any]] = []
+    with open(log_path, encoding="utf-8") as f:
+        for line in f:
+            if '"SparkListenerStageCompleted"' not in line:
+                continue
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:  # torn tail line of a live log
+                continue
+            info = ev.get("Stage Info", {})
+            sub = info.get("Submission Time")
+            comp = info.get("Completion Time")
+            if sub is None or comp is None:
+                continue
+            if t_min_ms is not None and sub < t_min_ms:
+                continue
+            if t_max_ms is not None and sub > t_max_ms:
+                continue
+            acc = {a.get("Name"): a.get("Value")
+                   for a in info.get("Accumulables", [])}
+            m = {dst: int(acc.get(src, 0) or 0) for src, dst in _ACC.items()}
+            out.append({
+                "stage_id": info.get("Stage ID"),
+                "name": (info.get("Stage Name") or "")[:80],
+                "tasks": info.get("Number of Tasks"),
+                "submitted_ms": sub,
+                "wall_ms": comp - sub,
+                "exec_run_ms": m["exec_run_ms"],
+                "exec_cpu_ms": m["exec_cpu_ns"] // 1_000_000,
+                "shuffle_write_mb": round(
+                    m["shuffle_write_bytes"] / 1e6, 2),
+                "shuffle_read_mb": round(
+                    (m["shuffle_read_local"] + m["shuffle_read_remote"]) / 1e6,
+                    2),
+            })
+    out.sort(key=lambda s: s["submitted_ms"])
+    return out
+
+
+def stage_scaling_table(small: list[dict], big: list[dict],
+                        factor: int = 4) -> list[dict[str, Any]]:
+    """Pair the two levels' stages positionally (same plan → same stage
+    sequence; AQE may renumber but not reorder) and compute per-stage
+    wall-clock scaling efficiency = wall_small / (factor * wall_big)."""
+    rows = []
+    for i, (a, b) in enumerate(zip(small, big)):
+        eff = (a["wall_ms"] / (factor * b["wall_ms"])
+               if b["wall_ms"] > 0 else None)
+        rows.append({
+            "idx": i,
+            "name": a["name"],
+            "tasks_small": a["tasks"], "tasks_big": b["tasks"],
+            "wall_ms_small": a["wall_ms"], "wall_ms_big": b["wall_ms"],
+            "exec_run_ms_small": a["exec_run_ms"],
+            "exec_run_ms_big": b["exec_run_ms"],
+            "shuffle_read_mb": max(a["shuffle_read_mb"], b["shuffle_read_mb"]),
+            "efficiency": round(eff, 3) if eff is not None else None,
+        })
+    return rows

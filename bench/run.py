@@ -63,24 +63,36 @@ def main() -> None:
 
     if args.time_only:
         n_docs = raw.count()
-        best = None
+        windows = []  # (wall_sec, epoch_ms_start, epoch_ms_end) per run
         for _ in range(max(args.runs, 1)):
+            e0 = int(time.time() * 1000)
             t0 = time.monotonic()
             # force through an aggregate over spans: a bare count() lets
             # Catalyst prune the final sort/assembly (and with the
             # keep-every-doc join, the whole pipeline)
             extract(raw, media).agg(
                 F.count(F.lit(1)), F.sum(F.size("spans"))).collect()
-            w = time.monotonic() - t0
-            best = w if best is None else min(best, w)
-        print(json.dumps({
+            windows.append((time.monotonic() - t0, e0,
+                            int(time.time() * 1000)))
+        best, e0, e1 = min(windows)
+        result = {
             "docs": n_docs,
             "wall_sec": round(best, 3),
             "docs_per_sec": round(n_docs / best, 1),
             "master": spark.sparkContext.master,
             "parallelism": spark.sparkContext.defaultParallelism,
             "runs": args.runs,
-        }))
+        }
+        # Per-stage wall/compute decomposition of the BEST run, from the
+        # event log (enabled by the caller via spark.eventLog.*) — the
+        # stage-level scaling evidence BASELINE.md §3 commits.
+        from angola_erp_ocr_spark.stagelog import (event_log_path,
+                                                   parse_stages)
+        log = event_log_path(spark)
+        if log:
+            result["stages"] = parse_stages(log, t_min_ms=e0 - 50,
+                                            t_max_ms=e1 + 50)
+        print(json.dumps(result))
         return
 
     from angola_erp_ocr_spark.plans.snapshot import (

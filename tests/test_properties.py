@@ -306,9 +306,43 @@ def test_batch_decode_matches_per_page(pages, extra):
 def test_batch_decode_rejects_legacy_gg01():
     import pytest as _pytest
 
-    from angola_erp_ocr_spark.glyph import decode_batch_columns, encode_page
+    from angola_erp_ocr_spark.glyph import (NotBatchDecodable,
+                                            decode_batch_columns, encode_page)
 
     good = encode_page([dict(x=1, y=2, w=3, h=4, conf=50, block=0, par=0,
                              line=0, word_idx=0, text="ok")])
-    with _pytest.raises(ValueError):
+    with _pytest.raises(NotBatchDecodable):
         decode_batch_columns([good, b"GG01\x00\x00legacy"])
+
+
+def test_batch_decode_rejects_truncated_blobs():
+    """A truncated/count-corrupted GG02 blob must raise NotBatchDecodable —
+    not silently gather bytes from the FOLLOWING page, and not IndexError
+    when it is the last page (ADVICE r2: glyph.py batch validation)."""
+    import pytest as _pytest
+
+    from angola_erp_ocr_spark.glyph import (NotBatchDecodable,
+                                            decode_batch_columns, encode_page)
+
+    good = encode_page([dict(x=1, y=2, w=3, h=4, conf=50, block=0, par=0,
+                             line=0, word_idx=0, text="hello")])
+    # header region truncated (records cut short), mid-batch and last
+    hdr_cut = good[: 6 + 8]
+    for batch in ([hdr_cut, good], [good, hdr_cut]):
+        with _pytest.raises(NotBatchDecodable):
+            decode_batch_columns(batch)
+    # text region truncated (header intact, word bytes cut short)
+    txt_cut = good[:-2]
+    for batch in ([txt_cut, good], [good, txt_cut]):
+        with _pytest.raises(NotBatchDecodable):
+            decode_batch_columns(batch)
+
+
+def test_batch_fallback_does_not_catch_unicode_errors():
+    """ocr_lines' batch→per-page fallback catches ONLY NotBatchDecodable:
+    a UnicodeDecodeError (a ValueError subclass) from the text-decode step
+    must propagate, not trigger a pointless per-page re-run (ADVICE r2)."""
+    from angola_erp_ocr_spark.glyph import NotBatchDecodable
+
+    assert issubclass(NotBatchDecodable, ValueError)
+    assert not issubclass(UnicodeDecodeError, NotBatchDecodable)
