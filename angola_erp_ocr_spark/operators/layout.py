@@ -21,8 +21,32 @@ from ..schema import HEADER_WORDS_EN, HEADER_WORDS_PT, STOP_MARKERS
 #  api/util.py:8542-8563)
 # ---------------------------------------------------------------------------
 
-def reading_order(lines: DataFrame, scope: list[str], tiebreak: str | None = None) -> DataFrame:
-    order_cols = [F.col("y").asc(), F.col("x").asc()]
+def reading_order(lines: DataFrame, scope: list[str],
+                  tiebreak: str | None = None,
+                  boxes_flow: float | None = None) -> DataFrame:
+    """Total reading order per scope.
+
+    Default (``boxes_flow=None``): strict (y, x) sort — top-to-bottom then
+    left-to-right, the contour-sort order (api/util.py:8542-8563).
+
+    ``boxes_flow`` ∈ [-1.0, +1.0] reproduces pdfminer's LAParams weighting
+    (api/pdf2txt.py:249-261): pdfminer sorts boxes by
+    ``(1 - flow)·x0 − (1 + flow)·(y0+y1)`` in bottom-up page coords; in
+    this engine's top-down coords the equivalent ascending key is
+    ``(1 − flow)·x + (1 + flow)·y``. ``+1`` ignores x entirely (pure
+    top-to-bottom), ``−1`` ignores y (pure left-to-right — a multi-column
+    page reads column-by-column), pdfminer's default 0.5 mostly respects
+    vertical position. (y, x) remain as tiebreaks so the order stays
+    total and deterministic for equal keys.
+    """
+    if boxes_flow is None:
+        order_cols = [F.col("y").asc(), F.col("x").asc()]
+    else:
+        if not -1.0 <= boxes_flow <= 1.0:
+            raise ValueError(f"boxes_flow {boxes_flow} outside [-1, 1]")
+        key = (F.lit(1.0 - boxes_flow) * F.col("x")
+               + F.lit(1.0 + boxes_flow) * F.col("y"))
+        order_cols = [key.asc(), F.col("y").asc(), F.col("x").asc()]
     if tiebreak:
         order_cols.append(F.col(tiebreak).asc())
     w = Window.partitionBy(*scope).orderBy(*order_cols)

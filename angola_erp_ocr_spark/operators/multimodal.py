@@ -49,6 +49,11 @@ IMAGE_FEATURES = T.StructType([
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    # Provenance (VERDICT r2): every decoded row names its decoder and
+    # flags synthetic output, so a writer can never persist fake
+    # embeddings silently — filter on is_synthetic or audit decoder.
+    T.StructField("decoder", T.StringType(), False),
+    T.StructField("is_synthetic", T.BooleanType(), False),
 ])
 
 FRAME_SAMPLE = T.StructType([
@@ -82,25 +87,36 @@ def _fake_image_decode(blob: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_images(df: DataFrame, ref_col: str = "media_ref",
-                  bytes_col: str = "payload", strict: bool = False) -> DataFrame:
+                  bytes_col: str = "payload", strict: bool = True) -> DataFrame:
     """Image decode / feature-extract as an Arrow-batched mapInPandas stage.
 
-    strict=True raises NotImplementedError when no real decoder exists
-    (production posture); default emits the deterministic fake so the
-    pipeline shape stays testable in this sandbox.
+    STRICT BY DEFAULT (production posture): raises NotImplementedError
+    when no real decoder exists, so no pipeline can silently ship fake
+    features. ``strict=False`` is an explicit sandbox opt-in that emits
+    the deterministic fake — and every emitted row carries
+    ``decoder``/``is_synthetic`` provenance columns so even an opted-in
+    caller cannot persist fakes unlabeled (VERDICT r2; the real-decoder
+    seam is reference util/ocr_pdf.py:377, api/util.py:8007-8051).
     """
+    # A future real decoder path must emit decoder="pil"/is_synthetic=False;
+    # until one is wired, everything this function emits IS the fake and is
+    # labeled as such — even if PIL happens to be importable.
+    decoder = "fake-sha256"
+    synthetic = True
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict and not HAS_PIL:
+        if strict:
             raise NotImplementedError(
-                "image decode requires PIL/torchvision — not in this container")
+                "image decode requires PIL/torchvision — not in this "
+                "container; pass strict=False to emit labeled fakes")
         for pdf in batches:
             rows = []
             for ref, blob in zip(pdf[ref_col], pdf[bytes_col]):
                 w, h, emb = _fake_image_decode(bytes(blob))
-                rows.append(dict(media_ref=ref, width=w, height=h, embedding=emb))
-            yield pd.DataFrame(rows, columns=["media_ref", "width", "height",
-                                              "embedding"])
+                rows.append(dict(media_ref=ref, width=w, height=h,
+                                 embedding=emb, decoder=decoder,
+                                 is_synthetic=synthetic))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES])
 
     return df.select(ref_col, bytes_col).mapInPandas(run, schema=IMAGE_FEATURES)
 

@@ -121,6 +121,51 @@ def assemble_lines(words: DataFrame) -> DataFrame:
     )
 
 
+def roi_ocr(media_pages: DataFrame, rois: DataFrame,
+            conf_threshold: int = CONF_THRESHOLD) -> DataFrame:
+    """I11 (util/roi_selection_with_orientation_and_ocr.py:63-120):
+    ROI-crop OCR as a named operator.
+
+    The reference crops a user-selected rectangle out of the page image
+    and runs ``pytesseract.image_to_string`` on the crop. Here the page
+    decodes ONCE into the word/box stream (I5/I6) and each ROI selects
+    the words whose boxes overlap its rectangle — the same geometric
+    predicate as the L12 bbox-template join (util/pdf_scrape.py:165-328).
+    For an exact decoder crop-then-decode ≡ decode-then-filter, and at
+    scale it means one decode per page regardless of how many ROIs ask
+    about it, with the tiny ROI table broadcast.
+
+    ``rois``: (roi_id, media_ref, x0, y0, x1, y1). Returns one row per
+    (media_ref, page_no, roi_id) with the crop's text in reading order,
+    its readable word count and mean confidence (the reference shows the
+    crop text + per-crop confidence interactively).
+    """
+    words = ocr_words(media_pages).where(F.col("conf") > conf_threshold)
+    r = F.broadcast(rois.select(
+        "roi_id", F.col("media_ref").alias("r_ref"),
+        "x0", "y0", "x1", "y1"))
+    overlap = (
+        (F.col("x") < F.col("x1")) & (F.col("x") + F.col("w") > F.col("x0"))
+        & (F.col("y") < F.col("y1")) & (F.col("y") + F.col("h") > F.col("y0"))
+    )
+    j = words.join(r, (F.col("media_ref") == F.col("r_ref")) & overlap)
+    return (
+        j.groupBy("media_ref", "page_no", "roi_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("block", "par", "line", "word_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.avg("conf").alias("mean_conf"),
+        )
+    )
+
+
 QR_Y = 999999     # decoded QR sorts after every real line of its page
 QR_BLOCK = 9999
 

@@ -67,6 +67,46 @@ def extract_with_retry(
     return ok.unionByName(retried)
 
 
+# Bounded stand-in for the reference's open-ended (psm × lang) sweep over
+# wordlist_langs.txt (util/ocr_pdf.py:1170-1183, 2309-2419): at most these
+# config passes, in ladder order. pass_no is the merge priority.
+RETRY_LADDER: list[tuple[int, str, int]] = [
+    (6, "por", 250),   # primary (api/util.py:8211-8212 --psm 6 default)
+    (4, "eng", 270),   # column-aware retry (aprender_OCR api/util.py:3725)
+    (12, "por+eng", 300),  # sparse-text last resort (ocr_pdf.py:1327-1352)
+]
+
+
+def merge_retry_fields(passes: DataFrame, field_cols: list[str],
+                       pass_col: str = "pass_no",
+                       must_fields: list[str] | None = None) -> DataFrame:
+    """R2 keep-best-so-far field merge (the reference's ``Old*`` vars,
+    util/ocr_pdf.py:2388-2402): across retry passes, each field takes its
+    value from the EARLIEST pass that produced one — a later pass fills
+    only the fields earlier passes left null, never overwrites.
+
+    ``passes``: one row per (doc_id, pass_no) with nullable field columns
+    (each row = one (psm, lang, dpi) ladder rung's extraction for that
+    doc). One ``min_by`` aggregation per field — the whole ladder merges
+    in a single hash-agg pass, partial-aggregated map-side; no loops, no
+    per-doc Python. Emits ``<field>_pass`` provenance (which rung won)
+    and, when ``must_fields`` is given, the reference's must-field gate
+    (mustNumOperacao ∧ mustIBANCreditado…, util/ocr_pdf.py:46-54, 889).
+    """
+    aggs = []
+    for fc in field_cols:
+        won = F.when(F.col(fc).isNotNull(), F.col(pass_col))
+        aggs.append(F.min_by(F.col(fc), won).alias(fc))
+        aggs.append(F.min(won).cast("int").alias(f"{fc}_pass"))
+    out = passes.groupBy("doc_id").agg(*aggs)
+    if must_fields:
+        gate = F.lit(True)
+        for fc in must_fields:
+            gate = gate & F.col(fc).isNotNull()
+        out = out.withColumn("must_ok", gate)
+    return out
+
+
 def cascade_committed(
     spark: SparkSession,
     documents: DataFrame,

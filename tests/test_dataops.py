@@ -146,12 +146,34 @@ def test_media_metadata_and_image_stub(spark):
     meta = {r["media_ref"]: r for r in multimodal.media_metadata(df).collect()}
     assert meta["image://a/1"]["media_type"] == "image"
     assert meta["image://a/1"]["n_bytes"] == 15
-    feats = {r["media_ref"]: r for r in multimodal.decode_images(df).collect()}
+    feats = {r["media_ref"]: r
+             for r in multimodal.decode_images(df, strict=False).collect()}
     assert len(feats["image://a/1"]["embedding"]) == 8
+    # provenance: fake output is labeled (VERDICT r2)
+    assert feats["image://a/1"]["decoder"] == "fake-sha256"
+    assert feats["image://a/1"]["is_synthetic"] is True
     # deterministic: same bytes → same features
-    again = multimodal.decode_images(df).collect()
+    again = multimodal.decode_images(df, strict=False).collect()
     assert {r["media_ref"]: r["embedding"] for r in again} == {
         r: feats[r]["embedding"] for r in feats}
+
+
+def test_decode_images_strict_by_default(spark):
+    """Production posture: without an explicit strict=False opt-in, the
+    decode stage must REFUSE to run rather than emit fakes — a pipeline
+    entry point can never silently persist synthetic embeddings."""
+    import inspect
+
+    import pytest as _pytest
+
+    assert inspect.signature(
+        multimodal.decode_images).parameters["strict"].default is True
+    df = spark.createDataFrame([("image://a/1", bytearray(b"x"))],
+                               "media_ref string, payload binary")
+    with _pytest.raises(Exception) as ei:
+        multimodal.decode_images(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
 
 
 def test_frame_sampling(spark):

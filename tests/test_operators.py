@@ -93,6 +93,28 @@ def test_reading_order(spark):
     assert got == ["first", "second", "third"]
 
 
+def test_reading_order_boxes_flow(spark):
+    """pdfminer boxes_flow weighting (api/pdf2txt.py:249-261): a 2×2
+    two-column page. flow=-1 ignores y (column-major: whole left column
+    first); flow=+1 ignores x (pure top-down: row-major); flow=None keeps
+    the exact (y, x) order."""
+    import pytest as _pytest
+
+    rows = [("d", 0, 40, "L1"), ("d", 0, 400, "R1"),
+            ("d", 12, 40, "L2"), ("d", 12, 400, "R2")]
+    df = spark.createDataFrame(rows, ["doc_id", "y", "x", "text"])
+
+    def order(**kw):
+        return [r["text"] for r in layout.reading_order(df, ["doc_id"], **kw)
+                .orderBy("line_no").collect()]
+
+    assert order(boxes_flow=-1.0) == ["L1", "L2", "R1", "R2"]
+    assert order(boxes_flow=1.0) == ["L1", "R1", "L2", "R2"]
+    assert order() == ["L1", "R1", "L2", "R2"]
+    with _pytest.raises(ValueError):
+        layout.reading_order(df, ["doc_id"], boxes_flow=1.5)
+
+
 def test_cluster_rows_by_gap(spark):
     # y values 10,14,18 | 60,63 | 200 → three rows (gap > 20)
     rows = [("d", y) for y in [10, 14, 18, 60, 63, 200]]

@@ -110,6 +110,36 @@ def test_cascade_retry_recovers_low_conf_docs(spark):
     assert hi_texts == ["BOM"]
 
 
+def test_merge_retry_fields_keep_best_so_far(spark):
+    """R2 keep-best merge (util/ocr_pdf.py:2388-2402): a later pass fills
+    only the fields earlier passes left null — never overwrites — and
+    must_ok reflects the MERGED record."""
+    from angola_erp_ocr_spark.plans.cascade import merge_retry_fields
+
+    rows = [
+        # doc a: pass1 has inv, no total; pass2 degrades inv (ignored) and
+        # adds total → inv from 1, total from 2, must_ok
+        ("a", 1, "FT 1", None),
+        ("a", 2, "GARBLED", "10,00"),
+        # doc b: nothing on pass1, inv on pass2, total never → not must_ok
+        ("b", 1, None, None),
+        ("b", 2, "FT 2", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, pass_no int, invoice_number string, "
+              "total_amount string")
+    got = {r["doc_id"]: r for r in merge_retry_fields(
+        df, ["invoice_number", "total_amount"],
+        must_fields=["invoice_number", "total_amount"]).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["invoice_number"], a["invoice_number_pass"]) == ("FT 1", 1)
+    assert (a["total_amount"], a["total_amount_pass"]) == ("10,00", 2)
+    assert a["must_ok"] is True
+    assert (b["invoice_number"], b["invoice_number_pass"]) == ("FT 2", 2)
+    assert b["total_amount"] is None and b["total_amount_pass"] is None
+    assert b["must_ok"] is False
+
+
 def test_sources_path_resolution(spark):
     from angola_erp_ocr_spark.sources.tables import resolve_path
 
