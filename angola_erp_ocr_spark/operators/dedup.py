@@ -325,18 +325,37 @@ def verify_candidates(docs: DataFrame, pairs: DataFrame,
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iters: int = 20,
+                         algorithm: str = "propagate") -> DataFrame:
     """(id, component) for every node in the pair graph; component = the
-    minimum id reachable from the node. Iterative min-label propagation
+    minimum id reachable from the node. After the call,
+    ``connected_components.last_rounds`` holds the rounds used.
+
+    ``algorithm="propagate"`` (default): iterative min-label propagation
     with an early-exit convergence check; ``localCheckpoint`` truncates
     the lineage each round so the plan doesn't grow exponentially.
+    Rounds needed = graph diameter — the right cost model for near-dup
+    components, which are shallow dup clusters, at one shuffle join + one
+    aggregation per round.
 
-    Rounds needed = graph diameter ≤ max_iters; near-dup components are
-    shallow (dup clusters, not long chains), so a handful of rounds
-    suffices. At extreme diameters the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce") halves rounds
-    to O(log n); this simple propagation keeps the per-round cost to one
-    shuffle join + one aggregation and is deterministic."""
+    ``algorithm="star"``: large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log n) rounds even on high-diameter graphs (a 2^10-node chain
+    needs ~10 star rounds vs ~1024 propagation rounds; property-pinned in
+    tests/test_properties.py). Use for pair graphs that may contain long
+    chains (e.g. transitive fuzzy matches), at ~2 shuffle rounds per
+    iteration."""
+    if algorithm == "star":
+        labels, rounds = _cc_large_small_star(pairs, max_iters)
+    elif algorithm == "propagate":
+        labels, rounds = _cc_propagate(pairs, max_iters)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    connected_components.last_rounds = rounds
+    return labels
+
+
+def _cc_propagate(pairs: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -347,7 +366,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         "comp", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # neighbour minimum, then min with own label
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -369,13 +390,88 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
-    return labels
+    return labels, rounds
+
+
+def _cc_large_small_star(pairs: DataFrame,
+                         max_iters: int) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star rounds to a star-forest
+    fixpoint. Edges kept canonical as (lo < hi).
+
+    * large-star: for each node u, every strictly-larger neighbour v
+      re-attaches to m = min(N(u) ∪ {u}).
+    * small-star: on the (hi → lo) orientation, every smaller neighbour
+      (and u itself) attaches to the minimum neighbour.
+
+    Both emit ≤ |E| edges, preserve connectivity, and strictly shrink the
+    potential function — standard proofs in the paper. Fixpoint detected
+    by an order-insensitive edge-set signature (count + hash sum), one
+    tiny aggregate per round."""
+    edges = (
+        pairs.select(F.least("id_a", "id_b").alias("lo"),
+                     F.greatest("id_a", "id_b").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        # bit_xor, not sum: hash values span the full long range and a sum
+        # overflows under ANSI; xor is order-insensitive and overflow-free
+        # (edges are distinct, so a set signature is exact up to collision)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("lo", "hi")).alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    sig = signature(edges)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # ---- large-star ----
+        bi = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
+            .unionByName(
+                edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m"))
+        large = (
+            bi.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # ---- small-star ---- (edges oriented hi → {lo...}; m ≤ every lo)
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(mins2, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+            .unionByName(mins2.select(F.col("m").alias("lo"), "hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: every edge is (root, member)
+    labels = (
+        edges.select(F.col("hi").alias("id"), F.col("lo").alias("comp"))
+        .unionByName(
+            edges.select(F.col("lo").alias("id"), F.col("lo").alias("comp")))
+        .distinct()
+    )
+    return labels, rounds
 
 
 def neardup_groups(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 16, n: int = 3,
                    bands: int = 4, rows: int = 4, max_bucket: int = 1000,
-                   threshold: float = 0.5, max_iters: int = 20) -> DataFrame:
+                   threshold: float = 0.5, max_iters: int = 20,
+                   algorithm: str = "propagate") -> DataFrame:
     """The full near-dup dedup: (component_id, keeper, members, n_members),
     one row per group of ≥ 2 verified near-duplicates. keeper = min id
     (same election as ``exact_duplicates``); members is the sorted
@@ -383,7 +479,7 @@ def neardup_groups(docs: DataFrame, id_col: str = "doc_id",
     cand = minhash_lsh_pairs(docs, id_col, text_col, k, n, bands, rows,
                              max_bucket)
     verified = verify_candidates(docs, cand, id_col, text_col, n, threshold)
-    comp = connected_components(verified, max_iters)
+    comp = connected_components(verified, max_iters, algorithm)
     return (
         comp.groupBy(F.col("comp").alias("component_id"))
         .agg(

@@ -61,24 +61,47 @@ def read_binary_media(spark: SparkSession, path: str,
     )
 
 
-def _iceberg_available(df: DataFrame, table: str) -> bool:
+def iceberg_runtime_present(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the JVM classpath."""
     try:
-        df.sparkSession.catalog.tableExists(table)
-        conf = df.sparkSession.conf
-        return any(
-            "iceberg" in (conf.get(k, "") or "")
-            for k in ("spark.sql.extensions",)
-        )
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_available(df: DataFrame, table: str) -> bool:
+    """Runtime jar present AND the table's catalog (or the session
+    extensions) is configured for Iceberg."""
+    spark = df.sparkSession
+    if not iceberg_runtime_present(spark):
+        return False
+    try:
+        conf = spark.conf
+        catalog = table.split(".")[0] if "." in table else ""
+        if catalog and "iceberg" in (
+                conf.get(f"spark.sql.catalog.{catalog}", "") or "").lower():
+            return True
+        return "iceberg" in (conf.get("spark.sql.extensions", "") or "").lower()
     except Exception:
         return False
 
 
 def write_documents(df: DataFrame, target: str, mode: str = "append") -> None:
     """K1/K2 sink: Iceberg `writeTo` when the runtime is present, else a
-    parquet directory with identical semantics (the sandbox path)."""
+    parquet directory with identical semantics (the sandbox path). Both
+    backends satisfy the same contract (append accumulates — creating the
+    table on first write — overwrite replaces, resume anti-join works);
+    pinned by tests/test_resume_lineage.py backend-contract test."""
     if os.path.sep not in target and _iceberg_available(df, target):
         w = df.writeTo(target)
-        (w.append() if mode == "append" else w.createOrReplace())
+        if mode != "append":
+            w.createOrReplace()
+        elif df.sparkSession.catalog.tableExists(target):
+            w.append()
+        else:
+            w.create()
         return
     df.write.mode(mode).parquet(target)
 

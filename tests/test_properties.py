@@ -260,6 +260,49 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 # ---------------------------------------------------------------------------
+# Large-star/small-star connected components (dedup.connected_components
+# algorithm="star", Kiveris et al. SoCC'14): O(log n) rounds on a
+# high-diameter graph, and label-equivalence with min-propagation.
+# ---------------------------------------------------------------------------
+
+def test_star_cc_chain_olog_rounds(spark):
+    """A 2^10-node chain has diameter 1023 — min-propagation needs ~1024
+    rounds, large/small-star must collapse it in O(log n): every node
+    labels to component 0 within ≲ 2·log2(n) + slack rounds."""
+    from angola_erp_ocr_spark.operators.dedup import connected_components
+
+    n = 1 << 10
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    labels = connected_components(pairs, max_iters=40, algorithm="star")
+    rounds = connected_components.last_rounds
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 24, f"star CC took {rounds} rounds on a 2^10 chain"
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    """star ≡ propagate on seeded random graphs (same (id, comp) map)."""
+    import random
+
+    from angola_erp_ocr_spark.operators.dedup import connected_components
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = {(min(a, b), max(a, b))
+                 for a, b in (sorted(rng.sample(range(n), 2))
+                              for _ in range(45))}
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "id_a long, id_b long")
+        prop = {(r["id"], r["comp"]) for r in connected_components(
+            pairs, max_iters=64, algorithm="propagate").collect()}
+        star = {(r["id"], r["comp"]) for r in connected_components(
+            pairs, max_iters=64, algorithm="star").collect()}
+        assert star == prop
+
+
+# ---------------------------------------------------------------------------
 # GG02 batch decode (glyph.decode_batch_columns) ≡ per-page decode — the
 # OCR hot path's vectorized gather must agree with the reference per-page
 # frombuffer decode on arbitrary page mixes (incl. empty pages, max-len

@@ -110,6 +110,53 @@ def test_cascade_retry_recovers_low_conf_docs(spark):
     assert hi_texts == ["BOM"]
 
 
+def _backend_contract(spark, target, read):
+    """SURVEY §7.5: the semantic contract BOTH write backends must satisfy
+    — append accumulates (creating the table on first write), resume
+    anti-join sees exactly the committed ids, overwrite replaces."""
+    from angola_erp_ocr_spark.plans.pipeline import resume_filter
+    from angola_erp_ocr_spark.sources.tables import write_documents
+
+    def df(ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id string")
+
+    write_documents(df(["a", "b"]), target, mode="append")
+    write_documents(df(["c"]), target, mode="append")
+    assert {r["doc_id"] for r in read().collect()} == {"a", "b", "c"}
+    # resume: anti-join input against committed ids → only the missing
+    todo = resume_filter(df(["a", "c", "d"]), read())
+    assert {r["doc_id"] for r in todo.collect()} == {"d"}
+    write_documents(df(["z"]), target, mode="overwrite")
+    assert {r["doc_id"] for r in read().collect()} == {"z"}
+
+
+def test_write_documents_parquet_fallback_semantics(spark, tmp_path):
+    """The parquet-directory fallback (the sandbox path) satisfies the
+    backend contract."""
+    pdir = str(tmp_path / "tbl_parquet")
+    _backend_contract(spark, pdir, lambda: spark.read.parquet(pdir))
+
+
+def test_write_documents_iceberg_semantics(spark, tmp_path):
+    """The Iceberg `writeTo` path satisfies the SAME contract — gated on
+    runtime-jar presence so this is green (skip) here and exercised
+    identically in an Iceberg-equipped environment."""
+    import pytest as _pytest
+
+    from angola_erp_ocr_spark.sources.tables import iceberg_runtime_present
+
+    if not iceberg_runtime_present(spark):
+        _pytest.skip("Iceberg runtime jars absent — parquet leg covers the "
+                     "contract; this leg runs where the jars are present")
+    spark.conf.set("spark.sql.catalog.it_local",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it_local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_local.warehouse",
+                   str(tmp_path / "iceberg_wh"))
+    tbl = "it_local.db.docs"
+    _backend_contract(spark, tbl, lambda: spark.read.table(tbl))
+
+
 def test_merge_retry_fields_keep_best_so_far(spark):
     """R2 keep-best merge (util/ocr_pdf.py:2388-2402): a later pass fills
     only the fields earlier passes left null — never overwrites — and
