@@ -497,6 +497,41 @@ FROM p
 """
 
 
+def q_corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (corpus-scale generalization
+    of the reference's fixed stop-line lists, api/util.py:172-179,
+    5642-5643): every doc carries the 'Processado por programa validado'
+    footer twice (differing case → same normalized line), each doc one of
+    7 shared legal footers, plus a unique content line that must NOT be
+    flagged (n_docs=1 < min_docs=5)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    lines = d.select("doc_id", F.explode(F.array(
+        F.lit("Processado por programa validado n/17"),
+        F.lit("PROCESSADO POR PROGRAMA VALIDADO N/17"),
+        F.format_string("RODAPE LEGAL %d", did % 7),
+        F.format_string("CONTENT %d", did),
+    )).alias("text"))
+    return layout.corpus_boilerplate(lines, min_docs=5)
+
+
+SQL_CORPUS_BOILERPLATE = """
+WITH l AS (
+  SELECT doc_id, unnest([
+    'Processado por programa validado n/17',
+    'PROCESSADO POR PROGRAMA VALIDADO N/17',
+    printf('RODAPE LEGAL %d', doc_id % 7),
+    printf('CONTENT %d', doc_id)]) AS text
+  FROM documents),
+pd AS (
+  SELECT trim(upper(text)) AS line_norm, doc_id, count(*) AS n
+  FROM l WHERE trim(upper(text)) <> '' GROUP BY 1, 2)
+SELECT line_norm, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM pd GROUP BY line_norm HAVING count(*) >= 5
+"""
+
+
 def q_l4_row_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _word_rows(spark, sf_dir).select(
         "doc_id", "pos",
@@ -1636,6 +1671,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p5_series_extract": q_p5_series_extract,
     "p8_tokenize": q_p8_tokenize,
     "p9_boilerplate_filter": q_p9_boilerplate_filter,
+    "corpus_boilerplate": q_corpus_boilerplate,
     "l1_bucket_columns": q_l1_bucket_columns,
     "l3_reading_order": q_l3_reading_order,
     "l3_reading_order_weighted": q_l3_reading_order_weighted,
@@ -1686,6 +1722,7 @@ _ORACLES: dict[str, str] = {
     "p5_series_extract": SQL_P5,
     "p8_tokenize": SQL_P8,
     "p9_boilerplate_filter": SQL_P9,
+    "corpus_boilerplate": SQL_CORPUS_BOILERPLATE,
     "l1_bucket_columns": SQL_L1,
     "l3_reading_order": SQL_L3,
     "l3_reading_order_weighted": SQL_L3_WEIGHTED,
@@ -1759,6 +1796,10 @@ _DEPRIORITIZED = [
     "l5_center_assign", "l8_items_region", "l11_next_line_lookahead",
     "agg_event_quality", "topk_orders", "docs_by_source",
     "simhash_values", "lineage_stats", "e2e_fields_from_extract",
+    # jaccard_pairs is the O(N²) oracle-only form; the scale path
+    # (verify-on-candidates) stays in-window inside dedup_groups and
+    # lsh_candidate_pairs
+    "jaccard_pairs",
 ]
 
 

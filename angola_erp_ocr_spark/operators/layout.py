@@ -189,6 +189,52 @@ def strip_boilerplate(lines: DataFrame, scope: list[str], text_col: str = "text"
     )
 
 
+def corpus_boilerplate(lines: DataFrame, doc_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_docs: int = 5) -> DataFrame:
+    """CROSS-document boilerplate detection — the corpus-scale
+    generalization of the reference's fixed stop-line lists
+    (api/util.py:172-179, 5642-5643) and of the per-doc repeated-block
+    drop: a normalized line recurring in ≥ ``min_docs`` DISTINCT
+    documents is template furniture (legal footers, 'Processado por
+    programa validado', cookie-banner analogues), not content.
+
+    Returns (line_norm, n_docs, n_occurrences). Two-level aggregation so
+    the exact distinct-doc count never builds a per-text doc set in
+    memory: groupBy(text, doc) pre-collapses per-doc repeats map-side,
+    then groupBy(text) counts rows — each step a plain partial-agg
+    shuffle, skew-safe under AQE (a boilerplate line hot enough to skew
+    is exactly one row per doc after step 1).
+    """
+    norm = F.trim(F.upper(F.col(text_col)))
+    per_doc = (
+        lines.where(norm != "")
+        .groupBy(norm.alias("line_norm"), F.col(doc_col).alias("_doc"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_doc.groupBy("line_norm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("_n").cast("long").alias("n_occurrences"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_corpus_boilerplate(lines: DataFrame, boilerplate: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """Drop lines whose normalized text is in the detected corpus
+    boilerplate set. Left-anti join on the normalized key; the
+    boilerplate side is typically small enough to broadcast (it is a
+    count-filtered aggregate), else AQE picks the join strategy."""
+    norm = F.trim(F.upper(F.col(text_col)))
+    return (
+        lines.withColumn("_ln", norm)
+        .join(boilerplate.select(F.col("line_norm").alias("_ln")),
+              "_ln", "left_anti")
+        .drop("_ln")
+    )
+
+
 # ---------------------------------------------------------------------------
 # L11 — one-line lookahead: marker line consumes the next line's value
 # (api/util.py:1518-1527, 9233-9258, 1454-1461). Pure lead() window.

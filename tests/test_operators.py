@@ -157,6 +157,25 @@ def test_strip_boilerplate_repeats_and_avoid(spark):
     assert got == ["body line a", "body line b"]
 
 
+def test_corpus_boilerplate_detect_and_strip(spark):
+    """Cross-doc boilerplate: a line recurring in ≥ min_docs distinct docs
+    is flagged (case/whitespace-normalized); stripping removes exactly
+    those lines and keeps unique content."""
+    rows = []
+    for d in range(6):
+        rows.append((f"d{d}", "Footer Legal LDA"))
+        rows.append((f"d{d}", "  FOOTER LEGAL LDA "))  # same normalized
+        rows.append((f"d{d}", f"content {d}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bl = layout.corpus_boilerplate(df, min_docs=5)
+    got = {r["line_norm"]: (r["n_docs"], r["n_occurrences"])
+           for r in bl.collect()}
+    assert got == {"FOOTER LEGAL LDA": (6, 12)}
+    kept = layout.strip_corpus_boilerplate(df, bl)
+    assert sorted(r["text"] for r in kept.collect()) == [
+        f"content {d}" for d in range(6)]
+
+
 def test_with_next_line_lookahead(spark):
     rows = [("d", 0, "VALOR PAGO"), ("d", 1, "1.500,00 AKZ"), ("d", 2, "x")]
     df = spark.createDataFrame(rows, ["doc_id", "line_no", "text"])
