@@ -294,6 +294,27 @@ def test_connected_components_converges(spark):
     assert comp == {1: 1, 2: 1, 5: 1, 9: 1, 11: 11, 12: 11}
 
 
+def test_extract_plan_exchange_budget(spark):
+    """Pin the flagship plan's shuffle budget (pipeline.py docstring, the
+    100 TB scale property): exactly 4 hash exchanges — span-row seg
+    window, media markers (one row per page), the single post-union
+    doc_id exchange serving both windows + assembly, and the
+    keep-every-doc join — plus broadcasts. A 5th hash exchange appearing
+    here means someone un-fused a window or broke partitioning reuse."""
+    from angola_erp_ocr_spark.plans.pipeline import extract
+    from angola_erp_ocr_spark.synth import build_corpus
+
+    raw, _golden, media = build_corpus(spark, 20)
+    df = extract(raw.select("doc_id", "spans"), media)
+    plan = spark._jvm.PythonSQLUtils.explainString(  # type: ignore
+        df._jdf.queryExecution(), "formatted")
+    n_hash_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and line.strip().split(") ")[-1]
+        .startswith("Exchange"))
+    assert n_hash_exchanges == 4, f"exchange budget broken:\n{plan[:2000]}"
+
+
 def test_embedding_near_dups_lsh_blocking(spark):
     """Label-free default: finds a near-identical pair, and the plan is an
     equi-join (no BroadcastNestedLoopJoin cross product)."""
