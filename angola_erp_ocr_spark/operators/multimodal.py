@@ -225,6 +225,140 @@ def decode_qr_media(df: DataFrame, ref_col: str = "media_ref",
     return df.select(ref_col, bytes_col).mapInPandas(run, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# K4 — annotated-page sink (reference util/ocr_pdf.py:575-599 rebuilds a PDF
+# of highlighted/redacted page images). Spark-first data-side analogue: the
+# annotation RECTS travel as a typed container appended to the page blob
+# (same pattern as the QR container — one binary per page holding grid +
+# extras), so the lake stores reviewable annotations without image libs;
+# the pixel render of highlights is gated exactly like image decode.
+#
+#     b"AN01" + uint16le count + count × (<u2 x, y, w, h> + u1 kind)
+#             + uint8 xor_checksum          (kind: 0=highlight, 1=redact)
+# ---------------------------------------------------------------------------
+
+AN_MAGIC = b"AN01"
+_AN_HDR = struct.Struct("<4sH")
+_AN_REC = struct.Struct("<HHHHB")
+ANNOT_HIGHLIGHT = 0
+ANNOT_REDACT = 1
+
+
+def encode_annotations(rects: list[tuple[int, int, int, int, int]]) -> bytes:
+    """rects: (x, y, w, h, kind) — uint16 coords, uint8 kind."""
+    if len(rects) > 65535:
+        raise ValueError("too many annotations")
+    body = b"".join(_AN_REC.pack(*r) for r in rects)
+    chk = 0
+    for b in body:
+        chk ^= b
+    return _AN_HDR.pack(AN_MAGIC, len(rects)) + body + bytes([chk])
+
+
+def decode_annotations_at(blob: bytes, off: int) -> list[dict] | None:
+    """Parse an AN01 container at a known offset (corrupt → None)."""
+    if len(blob) < off + _AN_HDR.size + 1:
+        return None
+    magic, n = _AN_HDR.unpack_from(blob, off)
+    if magic != AN_MAGIC:
+        return None
+    body_end = off + _AN_HDR.size + n * _AN_REC.size
+    if len(blob) < body_end + 1:
+        return None
+    body = blob[off + _AN_HDR.size:body_end]
+    chk = 0
+    for b in body:
+        chk ^= b
+    if chk != blob[body_end]:
+        return None
+    out = []
+    for i in range(n):
+        x, y, w, h, kind = _AN_REC.unpack_from(body, i * _AN_REC.size)
+        out.append(dict(x=x, y=y, w=w, h=h, kind=kind))
+    return out
+
+
+def walk_page_extras(blob: bytes) -> dict:
+    """Walk the containers appended after a glyph grid (QR, annotations,
+    in any order): {'qr': str|None, 'annotations': list|None}. Unknown
+    or corrupt trailing bytes end the walk (tolerated, not fatal)."""
+    from ..glyph import MAGIC, payload_end
+
+    out: dict = {"qr": None, "annotations": None}
+    if blob[:4] != MAGIC:
+        return out
+    try:
+        off = payload_end(blob)
+    except (ValueError, struct.error):
+        return out
+    while off + 4 <= len(blob):
+        magic = blob[off:off + 4]
+        if magic == QR_MAGIC and out["qr"] is None:
+            qr = extract_qr_at(blob, off)
+            if qr is None:
+                break
+            out["qr"] = qr
+            _, n = _QR_STRUCT.unpack_from(blob, off)
+            off += _QR_STRUCT.size + n + 1
+        elif magic == AN_MAGIC and out["annotations"] is None:
+            ann = decode_annotations_at(blob, off)
+            if ann is None:
+                break
+            out["annotations"] = ann
+            off += _AN_HDR.size + len(ann) * _AN_REC.size + 1
+        else:
+            break
+    return out
+
+
+def annotate_pages(media_pages: DataFrame,
+                   conf_threshold: int = 30,
+                   redact_below: int = 0,
+                   ref_col: str = "media_ref",
+                   blob_col: str = "glyph_grid") -> DataFrame:
+    """K4 (util/ocr_pdf.py:575-599): emit annotated page blobs — the word
+    boxes failing the confidence gate get HIGHLIGHT rects (the reviewer
+    sees exactly what OCR couldn't read), boxes at/below ``redact_below``
+    get REDACT rects. Arrow-batched; the original blob is preserved
+    byte-for-byte with the AN01 container appended, so every downstream
+    decoder (words, QR) still works on the annotated page."""
+    from ..glyph import decode_page_columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs, counts = [], [], []
+            for ref, blob in zip(pdf[ref_col], pdf[blob_col]):
+                blob = bytes(blob)
+                hdr, _texts = decode_page_columns(blob)
+                rects = []
+                for i in range(len(hdr)):
+                    conf = int(hdr["conf"][i])
+                    if conf == 255:  # the -1 sentinel: not a word
+                        continue
+                    if conf <= redact_below:
+                        kind = ANNOT_REDACT
+                    elif conf <= conf_threshold:
+                        kind = ANNOT_HIGHLIGHT
+                    else:
+                        continue
+                    rects.append((int(hdr["x"][i]), int(hdr["y"][i]),
+                                  int(hdr["w"][i]), int(hdr["h"][i]), kind))
+                refs.append(ref)
+                blobs.append(bytearray(blob + encode_annotations(rects))
+                             if rects else bytearray(blob))
+                counts.append(len(rects))
+            yield pd.DataFrame({"media_ref": refs,
+                                "annotated": blobs,
+                                "n_annotations": counts})
+
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("annotated", T.BinaryType(), False),
+        T.StructField("n_annotations", T.IntegerType(), False),
+    ])
+    return media_pages.select(ref_col, blob_col).mapInPandas(run, schema)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, ref_col: str = "media_ref",
                   bytes_col: str = "payload") -> DataFrame:
     """Video frame sampling plumbing: emits one row per sampled frame.

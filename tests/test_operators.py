@@ -157,6 +157,40 @@ def test_strip_boilerplate_repeats_and_avoid(spark):
     assert got == ["body line a", "body line b"]
 
 
+def test_k4_annotate_pages_roundtrip(spark):
+    """K4 (util/ocr_pdf.py:575-599): low-conf word boxes become highlight
+    rects, zero-conf boxes redact rects, appended as an AN01 container
+    that coexists with the QR container and leaves the word grid (and QR
+    decode) byte-identical."""
+    from angola_erp_ocr_spark.glyph import decode_page_columns, encode_page
+    from angola_erp_ocr_spark.operators import multimodal
+
+    words = [
+        dict(x=10, y=20, w=30, h=12, conf=80, block=0, par=0, line=0,
+             word_idx=0, text="BOM"),
+        dict(x=50, y=20, w=30, h=12, conf=25, block=0, par=0, line=0,
+             word_idx=1, text="FRACO"),
+        dict(x=90, y=20, w=30, h=12, conf=0, block=0, par=0, line=0,
+             word_idx=2, text="SECRETO"),
+        dict(x=0, y=0, w=0, h=0, conf=-1, block=0, par=0, line=0,
+             word_idx=3, text=""),  # sentinel row: never annotated
+    ]
+    blob = multimodal.embed_qr(encode_page(words), "https://agt.example/q")
+    pages = spark.createDataFrame([("page://a/0", bytearray(blob))],
+                                  "media_ref string, glyph_grid binary")
+    out = multimodal.annotate_pages(pages).collect()[0]
+    assert out["n_annotations"] == 2
+    ann_blob = bytes(out["annotated"])
+    extras = multimodal.walk_page_extras(ann_blob)
+    assert extras["qr"] == "https://agt.example/q"
+    kinds = {(a["x"], a["kind"]) for a in extras["annotations"]}
+    assert kinds == {(50, multimodal.ANNOT_HIGHLIGHT),
+                     (90, multimodal.ANNOT_REDACT)}
+    # word grid unchanged under the appended container
+    hdr, texts = decode_page_columns(ann_blob)
+    assert texts == ["BOM", "FRACO", "SECRETO", ""]
+
+
 def test_corpus_boilerplate_detect_and_strip(spark):
     """Cross-doc boilerplate: a line recurring in ≥ min_docs distinct docs
     is flagged (case/whitespace-normalized); stripping removes exactly
