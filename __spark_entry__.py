@@ -467,8 +467,9 @@ FROM p
 def q_l3_reading_order_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 with pdfminer's boxes_flow weighting (api/pdf2txt.py:249-261) on
     a two-column page: even positions in the left column (x=40), odd in
-    the right (x=400), y descending the column. boxes_flow=-0.5 weights x
-    3× vs y, so the whole left column reads before the right — the
+    the right (x=400), y descending the column. boxes_flow=-0.5 gives key
+    1.5·x + 1.0·y (pdfminer's x0 vs (y0+y1) ratio, layout.py reading_order
+    docstring), so the whole left column reads before the right — the
     multi-column ordering a plain (y, x) sort interleaves wrongly."""
     rows = _word_rows(spark, sf_dir).select(
         "doc_id", "pos", "word",
@@ -492,7 +493,7 @@ p AS (
 SELECT doc_id, pos, y, x,
        CAST(row_number() OVER (
               PARTITION BY doc_id
-              ORDER BY 1.5 * x + 0.5 * y, y, x, pos) - 1 AS INT) AS line_no
+              ORDER BY 1.5 * x + 1.0 * y, y, x, pos) - 1 AS INT) AS line_no
 FROM p
 """
 

@@ -346,12 +346,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
     chains (e.g. transitive fuzzy matches), at ~2 shuffle rounds per
     iteration."""
     if algorithm == "star":
-        labels, rounds = _cc_large_small_star(pairs, max_iters)
+        labels, rounds, converged = _cc_large_small_star(pairs, max_iters)
+        if not converged:
+            # The star labeling is only valid AT the star-forest fixpoint;
+            # short of it a node can carry two contradictory labels that
+            # flow silently into neardup_groups (ADVICE r4). Corrupt
+            # output is strictly worse than failing, so raise — propagate
+            # merely degrades to a possibly-unconverged (but single) label.
+            raise RuntimeError(
+                f"connected_components(star) did not reach the star-forest "
+                f"fixpoint in max_iters={max_iters} rounds; labels would "
+                f"be unsound — raise max_iters (O(log n) rounds suffice)")
     elif algorithm == "propagate":
-        labels, rounds = _cc_propagate(pairs, max_iters)
+        labels, rounds, converged = _cc_propagate(pairs, max_iters)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
     connected_components.last_rounds = rounds
+    connected_components.last_converged = converged
     return labels
 
 
@@ -389,8 +400,8 @@ def _cc_propagate(pairs: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
         n_changed = updated.where(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
-            break
-    return labels, rounds
+            return labels, rounds, True
+    return labels, rounds, False
 
 
 def _cc_large_small_star(pairs: DataFrame,
@@ -426,6 +437,7 @@ def _cc_large_small_star(pairs: DataFrame,
 
     sig = signature(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         rounds += 1
         # ---- large-star ----
@@ -455,6 +467,7 @@ def _cc_large_small_star(pairs: DataFrame,
         edges = small
         new_sig = signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
     # fixpoint: every edge is (root, member)
@@ -464,7 +477,7 @@ def _cc_large_small_star(pairs: DataFrame,
             edges.select(F.col("lo").alias("id"), F.col("lo").alias("comp")))
         .distinct()
     )
-    return labels, rounds
+    return labels, rounds, converged
 
 
 def neardup_groups(docs: DataFrame, id_col: str = "doc_id",

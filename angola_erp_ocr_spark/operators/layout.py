@@ -31,9 +31,11 @@ def reading_order(lines: DataFrame, scope: list[str],
 
     ``boxes_flow`` ∈ [-1.0, +1.0] reproduces pdfminer's LAParams weighting
     (api/pdf2txt.py:249-261): pdfminer sorts boxes by
-    ``(1 - flow)·x0 − (1 + flow)·(y0+y1)`` in bottom-up page coords; in
-    this engine's top-down coords the equivalent ascending key is
-    ``(1 − flow)·x + (1 + flow)·y``. ``+1`` ignores x entirely (pure
+    ``(1 - flow)·x0 − (1 + flow)·(y0+y1)`` in bottom-up page coords. The
+    y term is ``y0+y1 = 2·y_center``, i.e. y carries TWICE the weight of
+    x at equal flow; in this engine's top-down line coords (negligible
+    line height, so ``y0+y1 ≈ 2·y``) the equivalent ascending key is
+    ``(1 − flow)·x + 2·(1 + flow)·y``. ``+1`` ignores x entirely (pure
     top-to-bottom), ``−1`` ignores y (pure left-to-right — a multi-column
     page reads column-by-column), pdfminer's default 0.5 mostly respects
     vertical position. (y, x) remain as tiebreaks so the order stays
@@ -45,7 +47,7 @@ def reading_order(lines: DataFrame, scope: list[str],
         if not -1.0 <= boxes_flow <= 1.0:
             raise ValueError(f"boxes_flow {boxes_flow} outside [-1, 1]")
         key = (F.lit(1.0 - boxes_flow) * F.col("x")
-               + F.lit(1.0 + boxes_flow) * F.col("y"))
+               + F.lit(2.0 * (1.0 + boxes_flow)) * F.col("y"))
         order_cols = [key.asc(), F.col("y").asc(), F.col("x").asc()]
     if tiebreak:
         order_cols.append(F.col(tiebreak).asc())

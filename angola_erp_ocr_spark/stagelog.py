@@ -92,22 +92,71 @@ def parse_stages(log_path: str, t_min_ms: int | None = None,
 
 
 def stage_scaling_table(small: list[dict], big: list[dict],
-                        factor: int = 4) -> list[dict[str, Any]]:
-    """Pair the two levels' stages positionally (same plan → same stage
-    sequence; AQE may renumber but not reorder) and compute per-stage
-    wall-clock scaling efficiency = wall_small / (factor * wall_big)."""
+                        factor: int = 4,
+                        negligible_ms: int = 1000) -> list[dict[str, Any]]:
+    """Pair the two levels' stages by PLAN-NODE FINGERPRINT — (stage name,
+    occurrence index of that name in submission order) — not list position.
+
+    Positional zip (the round-3 bug, VERDICT r3 task 2) silently misaligns
+    when AQE re-plans differently under the two levels' different
+    ``spark.sql.shuffle.partitions`` (extra/reordered stages), producing
+    uninterpretable per-stage "efficiencies" (0.03 / 9.27-class rows in
+    BENCH/scaling_2v8.json r3). Name+occurrence is stable because a stage's
+    name is its materialization call site, and same-named stages execute in
+    plan order at both levels.
+
+    Rows where BOTH levels' wall is below ``negligible_ms`` are flagged
+    ``negligible: true`` — fixed scheduler/JIT overhead where a wall-clock
+    ratio is noise, not data. Stages present at only one level are emitted
+    with ``unpaired: '<level>'`` and no efficiency, never dropped silently.
+    """
+    def keyed(stages: list[dict]) -> dict[tuple[str, int], dict]:
+        seen: dict[str, int] = {}
+        out = {}
+        for s in stages:
+            k = (s["name"], seen.get(s["name"], 0))
+            seen[s["name"]] = k[1] + 1
+            out[k] = s
+        return out
+
+    ka, kb = keyed(small), keyed(big)
     rows = []
-    for i, (a, b) in enumerate(zip(small, big)):
+    order = {k: s["submitted_ms"] for k, s in ka.items()}
+    order.update({k: min(order.get(k, 1 << 62), s["submitted_ms"])
+                  for k, s in kb.items()})
+    for i, k in enumerate(sorted(order, key=order.get)):
+        a, b = ka.get(k), kb.get(k)
+        if a is None or b is None:
+            side = a or b
+            rows.append({
+                "idx": i, "name": k[0], "occurrence": k[1],
+                "unpaired": "small" if a else "big",
+                "tasks_small": a["tasks"] if a else None,
+                "tasks_big": b["tasks"] if b else None,
+                "wall_ms_small": a["wall_ms"] if a else None,
+                "wall_ms_big": b["wall_ms"] if b else None,
+                "exec_run_ms_small": a["exec_run_ms"] if a else None,
+                "exec_run_ms_big": b["exec_run_ms"] if b else None,
+                "shuffle_read_mb": side["shuffle_read_mb"],
+                "efficiency": None,
+                "negligible": side["wall_ms"] < negligible_ms,
+            })
+            continue
         eff = (a["wall_ms"] / (factor * b["wall_ms"])
                if b["wall_ms"] > 0 else None)
+        negligible = (a["wall_ms"] < negligible_ms
+                      and b["wall_ms"] < negligible_ms)
         rows.append({
             "idx": i,
             "name": a["name"],
+            "occurrence": k[1],
             "tasks_small": a["tasks"], "tasks_big": b["tasks"],
             "wall_ms_small": a["wall_ms"], "wall_ms_big": b["wall_ms"],
             "exec_run_ms_small": a["exec_run_ms"],
             "exec_run_ms_big": b["exec_run_ms"],
             "shuffle_read_mb": max(a["shuffle_read_mb"], b["shuffle_read_mb"]),
-            "efficiency": round(eff, 3) if eff is not None else None,
+            "efficiency": (round(eff, 3)
+                           if eff is not None and not negligible else None),
+            "negligible": negligible,
         })
     return rows

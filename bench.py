@@ -239,7 +239,29 @@ def main() -> None:
         result["scale_docs"] = scale_docs
         _write_bench_md(result)
 
-    print(json.dumps(result))
+    _emit(result)
+
+
+def _emit(result: dict) -> None:
+    """Emit results with driver-capture-safe framing (VERDICT r3 task 3).
+
+    The round-3 official artifact recorded ``"parsed": null`` because the
+    single stdout JSON line — carrying stage tables and plan digests — grew
+    past the driver's capture window and lost its HEAD. Fix: the full
+    record goes to BENCH/result_latest.json (committed, written BEFORE
+    stdout), and the printed line is a compact (<2 KB) subset with the
+    headline numbers the driver parses."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "result_latest.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {k: v for k, v in result.items()
+               if k not in ("extract_stages", "plan_digests")}
+    if isinstance(compact.get("scaling"), dict):
+        compact["scaling"] = {
+            k: v for k, v in compact["scaling"].items()
+            if k not in ("stage_table_best_round", "protocol")}
+    compact["full_result"] = "BENCH/result_latest.json"
+    print(json.dumps(compact), flush=True)
 
 
 def run_scaling_protocol(corpus: str, n_docs: int,
@@ -276,10 +298,11 @@ def run_scaling_protocol(corpus: str, n_docs: int,
     # that selects 2-vs-8 (4v16's 16-core level saturates the shared
     # memory system — measured, BENCH/ANALYSIS.md). Override with
     # SPARK_GRAFT_SCALE_SMALL to measure other pairings (e.g. 4 → 4v16).
+    apriori_small = max(CPUS // 16, 1)
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL",
-                                 str(max(CPUS // 16, 1))))
+                                 str(apriori_small)))
     n_big = 4 * n_small
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "8"))
 
     def one_run(ncpu: int, runs: int) -> dict:
         cmd = [
@@ -330,26 +353,52 @@ def run_scaling_protocol(corpus: str, n_docs: int,
 
     from angola_erp_ocr_spark.stagelog import stage_scaling_table
 
-    best_eff, best_small, best_big = max(round_stages, key=lambda r: r[0])
+    # PRE-REGISTERED slow-host exclusion (VERDICT r3 task 1, fixed before
+    # this run): a round is excluded iff its SMALL-level throughput
+    # deviates >25% from the median small-level throughput across rounds.
+    # Small-level throughput is pairing-independent (it never enters the
+    # gate as a standalone number), so this rule can detect a noisy host
+    # window but cannot cherry-pick the efficiency ratio in either
+    # direction. All rounds are still listed; exclusions are indices.
+    med_small = statistics.median(thr[n_small])
+    excluded = [i for i, v in enumerate(thr[n_small])
+                if abs(v - med_small) > 0.25 * med_small]
+    included = [i for i in range(rounds) if i not in excluded] or \
+        list(range(rounds))
+    eff_inc = [per_round_eff[i] for i in included]
+    best_eff, best_small, best_big = max(
+        (round_stages[i] for i in included), key=lambda r: r[0])
     stage_table = (stage_scaling_table(best_small, best_big)
                    if best_small and best_big else [])
+    pairing_note = (
+        f"a-priori criterion: largest N with 4N ≤ CPUS/4 selects "
+        f"{apriori_small}v{4 * apriori_small} on {CPUS} cores"
+        + ("" if n_small == apriori_small else
+           f"; THIS run's {n_small}v{n_big} pairing is an explicit "
+           f"override (confound check), not the official pairing"))
     out = {
-        f"docs_per_sec@local[{n_small}]": max(thr[n_small]),
-        f"docs_per_sec@local[{n_big}]": max(thr[n_big]),
-        "efficiency": round(max(per_round_eff), 3),
-        "efficiency_median": round(statistics.median(per_round_eff), 3),
+        f"docs_per_sec@local[{n_small}]": max(thr[n_small][i]
+                                              for i in included),
+        f"docs_per_sec@local[{n_big}]": max(thr[n_big][i] for i in included),
+        "efficiency": round(max(eff_inc), 3),
+        "efficiency_median": round(statistics.median(eff_inc), 3),
         "efficiency_rounds": [round(e, 3) for e in per_round_eff],
+        "excluded_rounds": excluded,
+        "exclusion_rule": ("pre-registered: drop rounds whose small-level "
+                           "throughput deviates >25% from the median "
+                           "small-level throughput (pairing-independent)"),
+        "small_thr_rounds": [round(v, 1) for v in thr[n_small]],
+        "big_thr_rounds": [round(v, 1) for v in thr[n_big]],
         "pairing": f"{n_small}v{n_big}",
         "stage_table_best_round": stage_table,
         "protocol": (f"taskset-pinned spark-submit --py-files; {rounds} "
                      f"interleaved (small,big) rounds of best-of-2 each; "
-                     f"efficiency = best per-round ratio (drift-robust), "
-                     f"median also reported; pairing criterion fixed a "
-                     f"priori: largest N with 4N ≤ CPUS/4 so per-core DRAM "
-                     f"bandwidth is comparable at both levels (= {n_small}v"
-                     f"{n_big} on {CPUS} cores); per-stage event-log "
-                     f"decomposition recorded for the best round; same "
-                     f"corpus ({scale_corpus})"),
+                     f"efficiency = best AND median per-round ratio over "
+                     f"included rounds after the pre-registered slow-host "
+                     f"exclusion (see exclusion_rule); {pairing_note}; "
+                     f"per-stage event-log decomposition (plan-node-paired) "
+                     f"recorded for the best round; same corpus "
+                     f"({scale_corpus})"),
     }
     return out
 
@@ -395,7 +444,11 @@ def _write_bench_md(result: dict) -> None:
         f"| docs/sec @ local[{n_big}] | {big_v} |",
         f"| scaling efficiency {n_small}→{n_big} (target ≥ 0.8) | "
         f"best {sc['efficiency']}, median {sc.get('efficiency_median', 'n/a')} "
-        f"(per-round: {sc.get('efficiency_rounds', 'n/a')}) |",
+        f"(per-round: {sc.get('efficiency_rounds', 'n/a')}; excluded rounds "
+        f"{sc.get('excluded_rounds', [])} by the pre-registered slow-host "
+        f"rule) |",
+        f"| small-level docs/sec per round (exclusion basis) | "
+        f"{sc.get('small_thr_rounds', 'n/a')} |",
         f"| span-equality pass rate (target 1.0) | {result['span_pass_rate']} "
         f"(bench corpus) / {result.get('span_pass_rate_scale', 'n/a')} "
         f"(scale corpus incl. heavy tail) |",
@@ -411,19 +464,26 @@ def _write_bench_md(result: dict) -> None:
             f"### Per-stage scaling, best round ({n_small}v{n_big})",
             "",
             "Wall-clock per completed Spark stage from the event log; "
-            "efficiency = wall_small / (4 × wall_big). Stages paired "
-            "positionally (identical plan at both levels).",
+            "efficiency = wall_small / (4 × wall_big). Stages paired by "
+            "plan-node fingerprint (stage name + occurrence in submission "
+            "order), never positionally; rows where both walls are <1 s "
+            "are fixed overhead and get no efficiency (flag column).",
             "",
             "| # | stage | tasks | wall ms @" + str(n_small) +
-            " | wall ms @" + str(n_big) + " | shuffle-read MB | eff |",
-            "|---|---|---|---|---|---|---|",
+            " | wall ms @" + str(n_big) + " | shuffle-read MB | eff | flag |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for r in table:
+            flag = ("overhead" if r.get("negligible")
+                    else f"unpaired@{r['unpaired']}" if r.get("unpaired")
+                    else "")
             lines.append(
                 f"| {r['idx']} | {r['name'][:48]} | "
                 f"{r['tasks_small']}/{r['tasks_big']} | "
                 f"{r['wall_ms_small']} | {r['wall_ms_big']} | "
-                f"{r['shuffle_read_mb']} | {r['efficiency']} |")
+                f"{r['shuffle_read_mb']} | "
+                f"{r['efficiency'] if r['efficiency'] is not None else '—'} | "
+                f"{flag} |")
         lines.append("")
     if result.get("extract_stages"):
         lines += [
