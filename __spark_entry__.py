@@ -2155,7 +2155,8 @@ def q_cascade_retry_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_s = F.lit(None).cast("string")
 
     def rung(no, inv_c, nif_c, date_c, tot_c):
-        psm, lang, dpi = RETRY_LADDER[no - 1]
+        r = RETRY_LADDER[no - 1]
+        psm, lang, dpi = r["psm"], r["lang"], r["dpi"]
         return F.struct(
             F.lit(no).alias("pass_no"), F.lit(psm).alias("psm"),
             F.lit(lang).alias("lang"), F.lit(dpi).alias("dpi"),
@@ -2226,6 +2227,96 @@ FROM p GROUP BY doc_id
 
 _QUERIES["cascade_retry_v2"] = q_cascade_retry_v2
 _ORACLES["cascade_retry_v2"] = SQL_CASCADE_RETRY_V2
+
+
+def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 ladder END-TO-END (VERDICT r3 task 4): every RETRY_LADDER rung
+    is a REAL ``extract`` pass over real glyph-grid pages — rung-specific
+    conf gate AND render-DPI resolution model (ocr.MIN_GLYPH_PX) — with
+    fields from the real L13 extractor and the keep-best merge's
+    ``<field>_pass`` provenance. One scanned page per documents-table row;
+    doc_id % 4 picks the recovery class:
+      0 → clean (conf 80, 12 pt)      → every field recovered at pass 1
+      1 → low-confidence scan (conf 25) → fails rung 1 (gate 30), read at
+          rung 2 (gate 20)
+      2 → tiny print (2 pt, conf 80)  → unresolvable below 300 DPI
+          (2·250 and 2·270 < 8 px·72), read only at rung 3
+      3 → hopeless (conf 5)           → below every gate; all-null fields,
+          must_ok = false (the ERRO_QUALIDADE terminal state)
+    The oracle predicts the exact field VALUES and winning pass numbers
+    from doc_id arithmetic (reference sweep util/ocr_pdf.py:1170-1183,
+    keep-best 2388-2402)."""
+    from angola_erp_ocr_spark.plans.cascade import extract_ladder
+    from angola_erp_ocr_spark.schema import MEDIA_PAGE
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    ref = F.format_string("page://lad/%d", did)
+    raw = d.select(
+        "doc_id",
+        F.array(F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            ref.alias("media_ref"), F.lit(0).alias("offset"),
+        )).alias("spans"))
+
+    def gen_pages(batches):
+        import pandas as pd
+
+        from angola_erp_ocr_spark.glyph import encode_page
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cls = did % 4
+                conf = {0: 80, 1: 25, 2: 80, 3: 5}[cls]
+                h = 2 if cls == 2 else 12
+                lines = [
+                    "MULTICAIXA EXPRESS",
+                    f"TOTAL {100 + did % 900},00 AKZ",
+                    f"DATA 2023/{1 + did % 12:02d}/{1 + did % 28:02d}",
+                ]
+                words = []
+                for ln, text in enumerate(lines):
+                    x = 40
+                    for k, w in enumerate(text.split(" ")):
+                        words.append(dict(
+                            x=x, y=10 + 14 * ln, w=8 * len(w), h=h,
+                            conf=conf, block=0, par=0, line=ln,
+                            word_idx=k, text=w))
+                        x += 8 * len(w) + 8
+                rows.append(dict(media_ref=f"page://lad/{did}", page_no=0,
+                                 glyph_grid=encode_page(words), dpi=150))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "page_no", "glyph_grid", "dpi"])
+
+    pages = d.mapInPandas(gen_pages, schema=MEDIA_PAGE)
+    out = extract_ladder(raw, pages)
+    return out.select(
+        "doc_id", "total_amount", "total_amount_pass", "currency",
+        "currency_pass", "invoice_date", "invoice_date_pass", "must_ok")
+
+
+SQL_CASCADE_LADDER = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 <> 3
+       THEN printf('%d,00', 100 + doc_id % 900) END AS total_amount,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS INT)
+    AS total_amount_pass,
+  CASE WHEN doc_id % 4 <> 3 THEN 'AKZ' END AS currency,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS INT)
+    AS currency_pass,
+  CASE WHEN doc_id % 4 <> 3
+       THEN printf('2023/%02d/%02d', 1 + doc_id % 12, 1 + doc_id % 28) END
+    AS invoice_date,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS INT)
+    AS invoice_date_pass,
+  (doc_id % 4 <> 3) AS must_ok
+FROM documents
+"""
+
+_QUERIES["cascade_ladder"] = q_cascade_ladder
+_ORACLES["cascade_ladder"] = SQL_CASCADE_LADDER
 
 
 _SPELL_DICT = ["factura", "recibo", "pagamento", "montante", "operacao",

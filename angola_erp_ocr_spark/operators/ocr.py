@@ -33,6 +33,17 @@ from ..schema import WORD_BOX
 
 CONF_THRESHOLD = 30  # util/ocr_pdf.py:390-392
 
+# Resolution model for the retry ladder's DPI rungs (reference `resolucao`
+# render parameter, 150..300 DPI: api/util.py:876, 1843, 3707; ocr_read.py:88).
+# Tesseract's accuracy collapses below ~8 px glyph height (public Tesseract
+# guidance: capital height ≳ 8-10 px / ~300 DPI for small print), so a word
+# whose box height h (in 1/72-inch points) renders below MIN_GLYPH_PX at the
+# chosen DPI is unresolvable at that rung: readable iff h·dpi/72 ≥ MIN_GLYPH_PX,
+# i.e. h·dpi ≥ MIN_GLYPH_PX·72. ``dpi=None`` (the default everywhere outside
+# the ladder) disables the model — the exact decoder reads every glyph.
+MIN_GLYPH_PX = 8
+_GLYPH_GATE = MIN_GLYPH_PX * 72
+
 _INT_FIELDS = ("block", "par", "line", "word_idx", "conf", "x", "y", "w", "h")
 
 
@@ -195,8 +206,15 @@ def segment_blocks(words: DataFrame) -> DataFrame:
 
 def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
               conf_threshold: int = CONF_THRESHOLD,
-              emit_qr: bool = False) -> DataFrame:
+              emit_qr: bool = False, dpi: int | None = None) -> DataFrame:
     """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
+
+    ``dpi`` (default None = off) applies the resolution model: words whose
+    rendered glyph height h·dpi/72 falls below ``MIN_GLYPH_PX`` are
+    unresolvable at this render resolution and are dropped like
+    sub-confidence words — the decode-side behavior that makes the retry
+    ladder's DPI rungs (plans/cascade.RETRY_LADDER; reference `resolucao`
+    sweep, api/util.py:876,1843,3725) real passes rather than metadata.
 
     ``emit_qr=True`` additionally decodes the page's embedded QR payload
     (I10, reference api/util.py:8007-8086) and emits it as a synthetic
@@ -248,6 +266,8 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
             decode_batch_columns(blobs)
         # conf gate (255-encoded conf=-1 must not pass; two uint8 compares)
         keepm = (hdr["conf"] > conf_threshold) & (hdr["conf"] != 255)
+        if dpi is not None:  # resolution model (see MIN_GLYPH_PX)
+            keepm &= hdr["h"].astype(np.int64) * dpi >= _GLYPH_GATE
         wp = word_page[keepm]
         h = hdr[keepm]
         # (page, block, par, line, word_idx) in one int64 key; page index
@@ -349,8 +369,10 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                 # the 255-encoded conf=-1 sentinel must NOT pass the gate;
                 # two uint8 compares instead of a conf_signed int32 copy
                 # (equivalent for any threshold ≥ 0 — pytest-pinned)
-                keep = np.nonzero((hdr["conf"] > conf_threshold)
-                                  & (hdr["conf"] != 255))[0]
+                keepm = (hdr["conf"] > conf_threshold) & (hdr["conf"] != 255)
+                if dpi is not None:  # resolution model (see MIN_GLYPH_PX)
+                    keepm &= hdr["h"].astype(np.int64) * dpi >= _GLYPH_GATE
+                keep = np.nonzero(keepm)[0]
                 if len(keep) == 0:
                     continue
                 h = hdr[keep]

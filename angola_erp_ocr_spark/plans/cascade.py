@@ -67,14 +67,73 @@ def extract_with_retry(
     return ok.unionByName(retried)
 
 
-# Bounded stand-in for the reference's open-ended (psm × lang) sweep over
-# wordlist_langs.txt (util/ocr_pdf.py:1170-1183, 2309-2419): at most these
-# config passes, in ladder order. pass_no is the merge priority.
-RETRY_LADDER: list[tuple[int, str, int]] = [
-    (6, "por", 250),   # primary (api/util.py:8211-8212 --psm 6 default)
-    (4, "eng", 270),   # column-aware retry (aprender_OCR api/util.py:3725)
-    (12, "por+eng", 300),  # sparse-text last resort (ocr_pdf.py:1327-1352)
+# Bounded stand-in for the reference's open-ended (psm × lang × dpi) sweep
+# over wordlist_langs.txt (util/ocr_pdf.py:1170-1183, 2309-2419;
+# `resolucao` ladder api/util.py:876,1843,3725). pass_no is the merge
+# priority. Each rung is a REAL extraction configuration: ``conf`` is the
+# word-confidence gate and ``dpi`` drives the resolution model
+# (ocr.MIN_GLYPH_PX) — a later rung's lower gate / higher render DPI
+# recovers words the earlier rung could not resolve, exactly the
+# reference's escalation. psm/lang remain provenance metadata (the exact
+# decoder has no segmentation/lexicon dimension to vary).
+RETRY_LADDER: list[dict] = [
+    # primary (api/util.py:8211-8212 --psm 6 default, 250 DPI render)
+    {"pass_no": 1, "psm": 6, "lang": "por", "dpi": 250, "conf": 30},
+    # column-aware retry (aprender_OCR api/util.py:3725), relaxed gate
+    {"pass_no": 2, "psm": 4, "lang": "eng", "dpi": 270, "conf": 20},
+    # sparse-text last resort (ocr_pdf.py:1327-1352), max render DPI
+    {"pass_no": 3, "psm": 12, "lang": "por+eng", "dpi": 300, "conf": 10},
 ]
+
+LADDER_FIELD_COLS = ["total_amount", "currency", "invoice_date"]
+LADDER_MUST_FIELDS = ["total_amount"]  # mustNumOperacao analogue
+
+
+def _fields_for_pass(extracted: DataFrame, rung: dict,
+                     field_cols: list[str]) -> DataFrame:
+    """extraction(doc_id, spans) → one nullable-field row per doc tagged
+    with the rung's pass_no — the per-rung leg of the ladder merge. Runs
+    the REAL L13 field extractor over the rung's extracted text spans."""
+    from ..operators.fields import extract_header_fields
+
+    lines = extracted.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).where(F.col("s.kind") == "text").select(
+        "doc_id", F.col("s.offset").alias("line_no"),
+        F.col("s.text").alias("text"),
+    )
+    return extract_header_fields(lines).select(
+        "doc_id", F.lit(rung["pass_no"]).alias("pass_no"), *field_cols)
+
+
+def extract_ladder(documents: DataFrame, media_pages: DataFrame,
+                   ladder: list[dict] = RETRY_LADDER,
+                   field_cols: list[str] = LADDER_FIELD_COLS,
+                   must_fields: list[str] = LADDER_MUST_FIELDS,
+                   repeat_k: int = 3) -> DataFrame:
+    """R2 ladder END-TO-END in one lazy DAG: every rung is a real
+    ``extract`` pass with its own (conf, dpi), its fields come from the
+    real L13 extractor, and ``merge_retry_fields`` folds them keep-best
+    with ``<field>_pass`` provenance (util/ocr_pdf.py:2388-2402).
+
+    All rungs run over ALL documents (the bounded sweep, ≤3 passes);
+    ``cascade_ladder_committed`` is the production shape that restricts
+    each rung to the still-failing subset via committed snapshots — the
+    set-oriented analogue of the reference's per-document early exit.
+    Every input doc yields an output row (docs no rung could read merge
+    to all-null fields with must_ok=false), mirroring ``extract``'s
+    keep-every-doc contract."""
+    passes = None
+    for rung in ladder:
+        ext = extract(documents, media_pages, repeat_k,
+                      conf_threshold=rung["conf"], dpi=rung["dpi"])
+        leg = _fields_for_pass(ext, rung, field_cols)
+        passes = leg if passes is None else passes.unionByName(leg)
+    merged = merge_retry_fields(passes, field_cols, must_fields=must_fields)
+    return (
+        documents.select("doc_id").join(merged, "doc_id", "left")
+        .withColumn("must_ok", F.coalesce(F.col("must_ok"), F.lit(False)))
+    )
 
 
 def merge_retry_fields(passes: DataFrame, field_cols: list[str],
@@ -144,3 +203,53 @@ def cascade_committed(
     )
     snapshot_append(retried, table)
     return read_snapshots_latest(spark, table)
+
+
+def cascade_ladder_committed(
+    spark: SparkSession,
+    documents: DataFrame,
+    media_pages: DataFrame,
+    out_dir: str,
+    ladder: list[dict] = RETRY_LADDER,
+    field_cols: list[str] = LADDER_FIELD_COLS,
+    must_fields: list[str] = LADDER_MUST_FIELDS,
+    repeat_k: int = 3,
+) -> DataFrame:
+    """Production ladder (util/ocr_pdf.py:1170-1183 sweep + 2388-2402
+    keep-best, set-oriented): rung 1 extracts every doc; each later rung
+    extracts ONLY the docs still failing the must-field gate after the
+    merge-so-far — the per-document early exit as an anti-join, no
+    driver-side loop over docs. Each rung's field rows commit as a
+    snapshot of ``fields_passes`` (auditable per rung, resumable: a crash
+    between rungs resumes from the committed passes); the final
+    keep-best merge — with ``<field>_pass`` provenance columns — commits
+    to ``fields_ladder``, so the committed table records which rung won
+    every field. Re-running after completion only re-extracts never-
+    recovered docs; duplicate (doc, pass_no) rows merge to identical
+    values (same configuration ⇒ same extraction), so the merge stays
+    deterministic."""
+    from .snapshot import read_snapshots, snapshot_append
+
+    passes_table = f"{out_dir}/fields_passes"
+    todo = documents
+    for rung in ladder:
+        if rung["pass_no"] > 1:
+            committed = read_snapshots(spark, passes_table)
+            done = merge_retry_fields(
+                committed, field_cols, must_fields=must_fields
+            ).where(F.col("must_ok")).select("doc_id")
+            todo = documents.join(done, "doc_id", "left_anti")
+            if todo.isEmpty():
+                break
+        ext = extract(todo, media_pages, repeat_k,
+                      conf_threshold=rung["conf"], dpi=rung["dpi"])
+        snapshot_append(_fields_for_pass(ext, rung, field_cols), passes_table)
+    merged = merge_retry_fields(
+        read_snapshots(spark, passes_table), field_cols,
+        must_fields=must_fields)
+    final = (
+        documents.select("doc_id").join(merged, "doc_id", "left")
+        .withColumn("must_ok", F.coalesce(F.col("must_ok"), F.lit(False)))
+    )
+    snapshot_append(final, f"{out_dir}/fields_ladder")
+    return final

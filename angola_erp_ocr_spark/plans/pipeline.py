@@ -117,7 +117,8 @@ def media_markers(documents: DataFrame) -> DataFrame:
 
 
 def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
-                        conf_threshold: int | None = None) -> DataFrame:
+                        conf_threshold: int | None = None,
+                        dpi: int | None = None) -> DataFrame:
     """OCR path: referenced pages → word stream → conf gate → lines →
     normalized candidates with (doc_id, seg) resolved via the markers."""
     markers = media_markers(documents)
@@ -131,7 +132,7 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
     # the reference turns the decoded AGT-portal URL into a text line
     # (api/util.py:8087-8174).
     lines = ocr_lines(pages, passthrough=("doc_id", "seg"), emit_qr=True,
-                      **kwargs)
+                      dpi=dpi, **kwargs)
     return lines.select(
         "doc_id",
         F.col("seg").cast("long").alias("seg"),
@@ -144,12 +145,17 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
 
 
 def extract(documents: DataFrame, media_pages: DataFrame | None = None,
-            repeat_k: int = 3, conf_threshold: int | None = None) -> DataFrame:
-    """Full extraction → documents_extracted(doc_id, spans)."""
+            repeat_k: int = 3, conf_threshold: int | None = None,
+            dpi: int | None = None) -> DataFrame:
+    """Full extraction → documents_extracted(doc_id, spans).
+
+    ``conf_threshold``/``dpi`` parameterize the OCR decode for retry-ladder
+    rungs (plans/cascade.py); the defaults are the flagship configuration.
+    """
     cands = base_candidates(documents)
     if media_pages is not None:
         cands = cands.unionByName(
-            decoded_media_lines(documents, media_pages, conf_threshold)
+            decoded_media_lines(documents, media_pages, conf_threshold, dpi)
             .select(*cands.columns)
         )
 

@@ -110,6 +110,67 @@ def test_cascade_retry_recovers_low_conf_docs(spark):
     assert hi_texts == ["BOM"]
 
 
+def test_cascade_ladder_committed_runs_real_rungs(spark, tmp_path):
+    """R2 ladder, production shape: each RETRY_LADDER rung is a real
+    extract pass (rung conf gate + DPI resolution model), later rungs run
+    only over still-failing docs (committed anti-join early exit), and the
+    committed fields_ladder table carries <field>_pass provenance."""
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.plans.cascade import cascade_ladder_committed
+    from angola_erp_ocr_spark.plans.snapshot import (committed_snapshots,
+                                                     read_snapshots)
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    # classes as in the cascade_ladder oracle query: 0 clean (pass 1),
+    # 1 low-conf (pass 2), 2 tiny print (pass 3 via 300 DPI), 3 hopeless
+    def page(cls):
+        conf = {0: 80, 1: 25, 2: 80, 3: 5}[cls]
+        h = 2 if cls == 2 else 12
+        return bytearray(encode_page([
+            dict(x=40 + 70 * i, y=10, w=60, h=h, conf=conf, block=0, par=0,
+                 line=0, word_idx=i, text=t)
+            for i, t in enumerate(["TOTAL", f"{100 + cls},00", "AKZ"])
+        ]))
+
+    docs, media = [], []
+    for i in range(8):
+        did, cls = f"d{i}", i % 4
+        docs.append((did, None, [("media", "", f"page://{did}/0", 0)]))
+        media.append((f"page://{did}/0", 0, page(cls), 150))
+    raw = spark.createDataFrame(docs, DOCUMENTS_RAW).select("doc_id", "spans")
+    pages = spark.createDataFrame(media, MEDIA_PAGE)
+
+    out = str(tmp_path / "ladder")
+    final = {r["doc_id"]: r for r in
+             cascade_ladder_committed(spark, raw, pages, out).collect()}
+    assert len(final) == 8
+    for i in range(8):
+        did, cls = f"d{i}", i % 4
+        r = final[did]
+        if cls == 3:
+            assert r["total_amount"] is None and not r["must_ok"]
+        else:
+            assert r["total_amount"] == f"{100 + cls},00"
+            assert r["total_amount_pass"] == cls + 1  # winning rung
+            assert r["must_ok"]
+
+    # early exit: rung k's committed pass contains only still-failing docs
+    snaps = committed_snapshots(f"{out}/fields_passes")
+    assert len(snaps) == 3
+    by_pass = {}
+    for s in snaps:
+        pdf = spark.read.parquet(s["data_dir"]).toPandas()
+        by_pass[int(pdf["pass_no"].iloc[0])] = set(pdf["doc_id"])
+    assert by_pass[1] >= {"d0", "d4"}              # rung 1 reads clean docs
+    assert by_pass[2].isdisjoint({"d0", "d4"})     # recovered docs excluded
+    assert by_pass[3].isdisjoint({"d0", "d4", "d1", "d5"})
+
+    # the committed fields_ladder table is the returned view
+    tbl = read_snapshots(spark, f"{out}/fields_ladder")
+    assert tbl.count() == 8
+    assert "total_amount_pass" in tbl.columns and "must_ok" in tbl.columns
+
+
 def _backend_contract(spark, target, read):
     """SURVEY §7.5: the semantic contract BOTH write backends must satisfy
     — append accumulates (creating the table on first write), resume
