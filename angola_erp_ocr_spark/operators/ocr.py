@@ -44,6 +44,19 @@ CONF_THRESHOLD = 30  # util/ocr_pdf.py:390-392
 MIN_GLYPH_PX = 8
 _GLYPH_GATE = MIN_GLYPH_PX * 72
 
+# Skew detection for the fused decode stage (I3 inside the flagship
+# path): on an upright page every word of a physical line shares its y
+# anchor (small OCR jitter aside); under a rotation θ the words of one
+# line spread vertically by Δx·tanθ. A page is skew-SUSPECT iff any of
+# its lines has y-spread ≥ SKEW_SPREAD_PX AND spread/Δx ≥ SKEW_MIN_SLOPE
+# (≈ tan 0.6°) — the slope term makes detection length-invariant (a 2°
+# skew on a 40 px line spreads only ~1.4 px; a plain pixel floor misses
+# it), while the pixel floor rejects single-pixel rounding jitter. Only
+# suspect pages pay the per-page angle search; the vectorized spread/Δx
+# check is two extra reduceats over data the stage already groups.
+SKEW_SPREAD_PX = 2
+SKEW_MIN_SLOPE = 0.01
+
 _INT_FIELDS = ("block", "par", "line", "word_idx", "conf", "x", "y", "w", "h")
 
 
@@ -206,8 +219,21 @@ def segment_blocks(words: DataFrame) -> DataFrame:
 
 def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
               conf_threshold: int = CONF_THRESHOLD,
-              emit_qr: bool = False, dpi: int | None = None) -> DataFrame:
+              emit_qr: bool = False, dpi: int | None = None,
+              deskew: bool = True) -> DataFrame:
     """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
+
+    ``deskew`` (default on) runs I3 inside the decode stage: a scanned
+    page's physical skew surfaces as ROTATED word-box coordinates
+    (reference deskews the image before Tesseract, util/ocr_pdf.py:129-141;
+    with the decoder downstream the observable equivalent is rotated
+    boxes). Suspect pages — any assembled line whose words spread >
+    ``SKEW_SPREAD_PX`` vertically — get the projection-profile angle
+    estimate (raster.estimate_skew_points, the same I3 estimator the
+    standalone raster path uses) and their line anchors recomputed from
+    inverse-rotated word coordinates, restoring upright reading order.
+    Upright pages never trigger, so the hot path stays one reduceat
+    heavier and nothing else.
 
     ``dpi`` (default None = off) applies the resolution model: words whose
     rendered glyph height h·dpi/72 falls below ``MIN_GLYPH_PX`` are
@@ -240,6 +266,22 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
     from ..glyph import (NotBatchDecodable, decode_batch_columns,
                          decode_page_columns, grid_end)
     from .multimodal import extract_qr_at
+    from .raster import estimate_skew_boxes
+
+    def _deskewed_anchors(h, starts_rel):
+        """Per-line (x, y) anchors from inverse-rotated word coords of ONE
+        suspect page; None when the estimator finds no angle."""
+        ang = estimate_skew_boxes(h["y"], h["x"], starts_rel)
+        if abs(ang) < 0.1:
+            return None
+        t = np.deg2rad(ang)
+        c, s = np.cos(t), np.sin(t)
+        px = h["x"].astype(np.float64)
+        py = h["y"].astype(np.float64)
+        rx = c * px + s * py    # R(−θ): x = c·x' + s·y'
+        ry = -s * px + c * py   #         y = −s·x' + c·y'
+        return (np.rint(np.minimum.reduceat(rx, starts_rel)).astype(np.int32),
+                np.rint(np.minimum.reduceat(ry, starts_rel)).astype(np.int32))
 
     base = T.StructType([
         T.StructField("media_ref", T.StringType(), False),
@@ -291,6 +333,26 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
             lin = h2["line"][starts].astype(np.int32)
             lx = np.minimum.reduceat(h2["x"], starts).astype(np.int32)
             ly = np.minimum.reduceat(h2["y"], starts).astype(np.int32)
+            if deskew:
+                # suspect pages only (see SKEW_SPREAD_PX/SKEW_MIN_SLOPE);
+                # words and lines are page-contiguous after the stable sort
+                spread = (np.maximum.reduceat(h2["y"], starts)
+                          .astype(np.int64) - ly)
+                dx = (np.maximum.reduceat(h2["x"], starts).astype(np.int64)
+                      - lx)
+                sus = ((spread >= SKEW_SPREAD_PX)
+                       & (spread >= SKEW_MIN_SLOPE * dx))
+                if sus.any():
+                    wp_sorted = wp[order]
+                    for p in np.unique(line_page[sus]).tolist():
+                        w0 = np.searchsorted(wp_sorted, p, "left")
+                        w1 = np.searchsorted(wp_sorted, p, "right")
+                        l0 = np.searchsorted(line_page, p, "left")
+                        l1 = np.searchsorted(line_page, p, "right")
+                        got = _deskewed_anchors(h2[w0:w1],
+                                                starts[l0:l1] - w0)
+                        if got is not None:
+                            lx[l0:l1], ly[l0:l1] = got
             ws = tstart[keepm][order].tolist()
             we = tend[keepm][order].tolist()
             wb = [joined[s:e] for s, e in zip(ws, we)]
@@ -387,12 +449,24 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                 ends = np.concatenate((bounds, [len(skey)]))
                 n_lines = len(starts)
                 # numeric reductions, vectorized per page
+                lx = np.minimum.reduceat(h2["x"], starts).astype(np.int32)
+                ly = np.minimum.reduceat(h2["y"], starts).astype(np.int32)
+                if deskew:
+                    spread = (np.maximum.reduceat(h2["y"], starts)
+                              .astype(np.int64) - ly)
+                    dx = (np.maximum.reduceat(h2["x"], starts)
+                          .astype(np.int64) - lx)
+                    if ((spread >= SKEW_SPREAD_PX)
+                            & (spread >= SKEW_MIN_SLOPE * dx)).any():
+                        got = _deskewed_anchors(h2, starts)
+                        if got is not None:
+                            lx, ly = got
                 heads.append(np.stack([
                     h2["block"][starts].astype(np.int32),
                     h2["par"][starts].astype(np.int32),
                     h2["line"][starts].astype(np.int32),
-                    np.minimum.reduceat(h2["x"], starts).astype(np.int32),
-                    np.minimum.reduceat(h2["y"], starts).astype(np.int32),
+                    lx,
+                    ly,
                 ], axis=1))
                 ts = [texts[keep[i]] for i in order]
                 txts.extend(" ".join(ts[s:e]) for s, e in zip(starts, ends))

@@ -109,13 +109,19 @@ def closing(mask: np.ndarray, k: int = 3) -> np.ndarray:
 # coordinates; ~50 candidate angles × |ink| adds.
 # ---------------------------------------------------------------------------
 
-def estimate_skew_deg(mask: np.ndarray, max_deg: float = 6.0,
-                      step: float = 0.25) -> float:
-    """Angle of the text lines in degrees (positive = lines rising with x
-    in image coordinates); 0.0 when there is too little ink to tell."""
-    ys, xs = np.nonzero(mask)
-    if len(xs) < 16:
+def estimate_skew_points(ys: np.ndarray, xs: np.ndarray,
+                         max_deg: float = 6.0, step: float = 0.25,
+                         min_points: int = 16) -> float:
+    """Projection-profile skew estimate over POINT COORDINATES — ink
+    pixels (the raster path) or OCR word-box anchors (the flagship decode
+    path, where the skew of a scanned page surfaces as rotated Tesseract
+    box coordinates rather than as an image we hold). Same estimator
+    either way: text lines collapse into sharp row-profile peaks exactly
+    at the deskew angle."""
+    if len(xs) < min_points:
         return 0.0
+    ys = ys.astype(np.float64)
+    xs = xs.astype(np.float64)
     best, best_var = 0.0, -1.0
     for deg in np.arange(-max_deg, max_deg + step / 2, step):
         t = np.tan(np.deg2rad(deg))
@@ -125,6 +131,46 @@ def estimate_skew_deg(mask: np.ndarray, max_deg: float = 6.0,
         if var > best_var:
             best_var, best = var, float(deg)
     return best
+
+
+def estimate_skew_deg(mask: np.ndarray, max_deg: float = 6.0,
+                      step: float = 0.25) -> float:
+    """Angle of the text lines in degrees (positive = lines rising with x
+    in image coordinates); 0.0 when there is too little ink to tell."""
+    ys, xs = np.nonzero(mask)
+    return estimate_skew_points(ys, xs, max_deg, step)
+
+
+def estimate_skew_boxes(ys: np.ndarray, xs: np.ndarray,
+                        line_starts: np.ndarray, max_deg: float = 6.0,
+                        min_points: int = 16) -> float:
+    """Skew from OCR WORD BOXES: pooled within-line regression slope.
+
+    Unlike ink pixels, word boxes carry their line membership (Tesseract's
+    block/par/line ids), so the skew is simply the common slope of
+    y-vs-x WITHIN each line: t̂ = Σ_l Σ (x−x̄_l)(y−ȳ_l) / Σ_l Σ (x−x̄_l)²,
+    θ = atan(t̂). Exact up to coordinate rounding — no angle grid, which
+    matters at ~20 boxes/page where the projection-profile search's 0.25°
+    quantization error (≥1.7 px across a 400 px page) can flip the order
+    of closely-spaced lines. ``line_starts``: start offsets of each line's
+    words in the (line-sorted) arrays. 0.0 when there is too little data
+    or the fitted angle exceeds ``max_deg`` (not plausible page skew)."""
+    n = len(xs)
+    if n < min_points:
+        return 0.0
+    xs = xs.astype(np.float64)
+    ys = ys.astype(np.float64)
+    counts = np.diff(np.concatenate((line_starts, [n])))
+    lid = np.repeat(np.arange(len(line_starts)), counts)
+    xm = np.add.reduceat(xs, line_starts) / counts
+    ym = np.add.reduceat(ys, line_starts) / counts
+    xc = xs - xm[lid]
+    yc = ys - ym[lid]
+    denom = float(np.dot(xc, xc))
+    if denom < 1e-9:
+        return 0.0
+    ang = float(np.degrees(np.arctan(np.dot(xc, yc) / denom)))
+    return ang if abs(ang) <= max_deg else 0.0
 
 
 def rotate(img: np.ndarray, deg: float, bg: int = 255) -> np.ndarray:

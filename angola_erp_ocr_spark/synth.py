@@ -27,6 +27,7 @@ same declared semantics:
 
 from __future__ import annotations
 
+import math
 import random
 import re
 
@@ -37,6 +38,11 @@ from .operators.multimodal import embed_qr
 SEED = 42
 HEAVY_FRACTION = 0.01
 DPI_LADDER = [150, 200, 250]
+# crooked-scan pages (rotated word boxes; the engine's in-pipeline deskew
+# must restore upright reading order). Angles on the I3 estimator's 0.25°
+# grid, both signs, within the ±6° search window.
+SKEW_FRACTION = 0.05
+SKEW_ANGLES = [-3.5, -2.0, 2.0, 3.5]
 
 _AVOID = re.compile(AVOID_RE)
 
@@ -288,10 +294,12 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
             candidates.append(dict(seg=seg_no, rank=0, y=-1, x=-1, text="",
                                    media_ref=media_ref))
             words, y = [], 8 + rng.randrange(6)
+            line_ys = []
             furniture = [f"PÁGINA {page_no + 1}", "TELEF. 222-333-444"]
             if multi:
                 furniture.append("EMPRESA DEMO LDA")
-            for line_no, text in enumerate(furniture + list(lines)):
+            page_lines = furniture + list(lines)
+            for line_no, text in enumerate(page_lines):
                 x0 = 40 + rng.randrange(8)
                 corrupted = _corrupt(text, rng)
                 wlist = _line_words(corrupted, y, x0, line_no, rng)
@@ -304,7 +312,36 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
                 kept = " ".join(w["text"] for w in wlist if w["conf"] > 30)
                 candidates.append(dict(seg=seg_no, rank=1, y=y, x=x0,
                                        text=normalize_py(kept), media_ref=media_ref))
+                line_ys.append(y)
                 y += 12 + rng.randrange(5)
+            # Skewed-scan page class (SKEW_FRACTION of readable media
+            # pages): the physical rotation of a crooked scan surfaces as
+            # ROTATED word-box coordinates (the engine deskews via the I3
+            # estimator inside ocr_lines). A right-column reference line is
+            # added first, anchored between the first two BODY lines (both
+            # survive boilerplate stripping) — its rotated y anchor FLIPS
+            # reading order vs those neighbours at every SKEW_ANGLES value,
+            # so a broken/absent deskew produces a wrong span sequence, not
+            # just jittered coords. Golden keeps the UPRIGHT coordinates:
+            # deskew must restore upright order.
+            n_kept = sum(1 for w in words if w["conf"] > 30)
+            n_body = len(page_lines) - len(furniture)
+            if (not heavy and n_kept >= 16 and n_body >= 2
+                    and rng.random() < SKEW_FRACTION):
+                skew = SKEW_ANGLES[rng.randrange(len(SKEW_ANGLES))]
+                ref_text = f"REF CAIXA {i}"
+                ref_y = line_ys[len(furniture)] + 6  # between body 0 and 1
+                words.extend(_line_words(ref_text, ref_y, 420,
+                                         len(page_lines), rng))
+                candidates.append(dict(seg=seg_no, rank=1, y=ref_y, x=420,
+                                       text=normalize_py(ref_text),
+                                       media_ref=media_ref))
+                t = math.radians(skew)
+                c, s = math.cos(t), math.sin(t)
+                for w in words:  # forward rotation + offset keeps uint16 ≥ 0
+                    wx, wy = w["x"], w["y"]
+                    w["x"] = int(round(c * wx - s * wy)) + 64
+                    w["y"] = int(round(s * wx + c * wy)) + 64
             blob = encode_page(words)
             if qr_url is not None:
                 blob = embed_qr(blob, qr_url)

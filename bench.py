@@ -80,7 +80,7 @@ def _spark(master: str, parallelism: int):
     return spark
 
 
-CORPUS_GEN = 2  # bump when synth.py changes the corpus content (r2: QR)
+CORPUS_GEN = 3  # bump when synth.py changes the corpus content (r4: skew)
 
 
 def materialize_corpus(spark, n_docs: int) -> str:

@@ -55,3 +55,70 @@ def test_text_only_extraction(spark):
     g = {r["doc_id"]: as_tuples(r["spans"]) for r in golden.collect()}
     for r in ext.collect():
         assert as_tuples(r["spans"]) == g[r["doc_id"]]
+
+
+def test_rotated_page_extracts_identical_to_upright_twin(spark):
+    """I3 in the flagship path (VERDICT r3 task 5): a crooked scan —
+    word boxes rotated by a few degrees, including a right-column line
+    whose rotated y anchor flips reading order — must extract a span
+    sequence IDENTICAL to its upright twin. Also pins that the deskew is
+    doing the work: with deskew off, the rotated doc's order differs."""
+    import math
+
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.operators.ocr import ocr_lines
+    from angola_erp_ocr_spark.plans import pipeline
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    lines = [
+        ("CABECALHO FACTURA DEMO", 10, 40),
+        ("REF CAIXA 777", 16, 420),       # right column, between lines
+        ("PRIMEIRA LINHA DO CORPO", 22, 40),
+        ("SEGUNDA LINHA DO CORPO", 36, 40),
+        ("TERCEIRA LINHA DO CORPO", 50, 40),
+    ]
+
+    def words(rotate_deg):
+        t = math.radians(rotate_deg)
+        c, s = math.cos(t), math.sin(t)
+        out = []
+        for ln, (text, y, x0) in enumerate(lines):
+            x = x0
+            for k, w in enumerate(text.split(" ")):
+                wx, wy = x, y
+                if rotate_deg:
+                    wx = int(round(c * x - s * y)) + 64
+                    wy = int(round(s * x + c * y)) + 64
+                out.append(dict(x=wx, y=wy, w=8 * len(w), h=12, conf=80,
+                                block=0, par=0, line=ln, word_idx=k, text=w))
+                x += 8 * len(w) + 8
+        return out
+
+    def corpus(deg_by_doc):
+        docs = [(d, None, [("media", "", f"page://{d}/0", 0)])
+                for d in deg_by_doc]
+        media = [(f"page://{d}/0", 0, bytearray(encode_page(words(deg))), 150)
+                 for d, deg in deg_by_doc.items()]
+        return (spark.createDataFrame(docs, DOCUMENTS_RAW)
+                .select("doc_id", "spans"),
+                spark.createDataFrame(media, MEDIA_PAGE))
+
+    raw, media = corpus({"up": 0.0, "rotneg": -3.5, "rotpos": 2.0})
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["offset"])
+                         for s in r["spans"]]
+           for r in extract(raw, media).collect()}
+    up = [(k, t.replace("page://up/0", "")) for k, t, _ in got["up"]]
+    assert [t for _, t, _ in got["up"]].count("REF CAIXA 777") == 1
+    for d in ("rotneg", "rotpos"):
+        assert ([(k, t) for k, t, _ in got[d]]
+                == [(k, t) for k, t, _ in got["up"]]), d
+
+    # teeth: without deskew the rotated twin's order is corrupted
+    real = ocr_lines
+    pipeline.ocr_lines = lambda *a, **k: real(*a, **{**k, "deskew": False})
+    try:
+        got_off = {r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+                   for r in extract(raw, media).collect()}
+    finally:
+        pipeline.ocr_lines = real
+    assert got_off["rotneg"] != [(k, t) for k, t, _ in got["up"]]
