@@ -2503,6 +2503,155 @@ _QUERIES["multimodal_frames"] = q_multimodal_frames
 _ORACLES["multimodal_frames"] = SQL_MULTIMODAL_FRAMES
 
 
+def q_k4_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 under the oracle (VERDICT r3 task 7; reference
+    util/ocr_pdf.py:575-599 draws rects over unreadable words): run the
+    REAL annotate_pages sink over deterministic pages (one per documents
+    row, 10 words, conf from doc_id arithmetic; word 9 pinned conf=5 so
+    every page annotates), then ROUND-TRIP the AN01 containers back off
+    the annotated blobs (walk_page_extras — a corrupt container or broken
+    checksum yields no rows and fails the match) and aggregate per doc.
+    The oracle predicts counts and areas from the same arithmetic."""
+    from angola_erp_ocr_spark.operators.multimodal import annotate_pages
+    from angola_erp_ocr_spark.schema import MEDIA_PAGE
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_pages(batches):
+        import pandas as pd
+
+        from angola_erp_ocr_spark.glyph import encode_page
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                words = []
+                for k in range(10):
+                    conf = 5 if k == 9 else (did * 7 + k * 13) % 101
+                    words.append(dict(x=10 * k, y=20, w=8 + k, h=12,
+                                      conf=conf, block=0, par=0, line=0,
+                                      word_idx=k, text=f"w{k}"))
+                rows.append(dict(media_ref=f"page://an/{did}", page_no=0,
+                                 glyph_grid=encode_page(words), dpi=150))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "page_no", "glyph_grid", "dpi"])
+
+    pages = d.mapInPandas(gen_pages, schema=MEDIA_PAGE)
+    ann = annotate_pages(pages, conf_threshold=30, redact_below=10)
+
+    def decode_rects(batches):
+        import pandas as pd
+
+        from angola_erp_ocr_spark.operators.multimodal import walk_page_extras
+
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["annotated"]):
+                for r in walk_page_extras(bytes(blob))["annotations"] or []:
+                    rows.append(dict(media_ref=ref, w=r["w"], h=r["h"],
+                                     kind=r["kind"]))
+            yield pd.DataFrame(rows, columns=["media_ref", "w", "h", "kind"])
+
+    rects = ann.mapInPandas(
+        decode_rects,
+        schema="media_ref string, w int, h int, kind int")
+    return (
+        rects.withColumn(
+            "doc_id", F.element_at(F.split("media_ref", "/"), -1)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_annotations"),
+            F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).cast("int")
+            .alias("n_highlight"),
+            F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).cast("int")
+            .alias("n_redact"),
+            F.sum((F.col("w") * F.col("h")).cast("long")).cast("long")
+            .alias("annotated_area"),
+        )
+    )
+
+
+SQL_K4_ANNOTATIONS = """
+WITH r AS (
+  SELECT doc_id, k,
+         CASE WHEN k = 9 THEN 5 ELSE (doc_id * 7 + k * 13) % 101 END AS conf,
+         (8 + k) * 12 AS area
+  FROM documents, (SELECT unnest(generate_series(0, 9)) AS k) t
+),
+cls AS (
+  SELECT doc_id, area,
+         CASE WHEN conf <= 10 THEN 1 ELSE 0 END AS kind
+  FROM r WHERE conf <= 30)
+SELECT doc_id,
+  CAST(count(*) AS INT) AS n_annotations,
+  CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS INT) AS n_highlight,
+  CAST(sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS INT) AS n_redact,
+  CAST(sum(area) AS BIGINT) AS annotated_area
+FROM cls GROUP BY doc_id
+"""
+
+_QUERIES["k4_annotations"] = q_k4_annotations
+_ORACLES["k4_annotations"] = SQL_K4_ANNOTATIONS
+
+
+def q_semdedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): IVF-cell-bounded semantic dedup —
+    the loose-threshold regime where hyperplane banding's recall
+    collapses. Pairwise cosine runs ONLY within a cell (equi-join on the
+    deterministic cell id, never a cross join); groups + min-id keeper as
+    in the text dedup family. Recall vs brute force is pinned on planted
+    near-identical vectors in tests/test_dataops.py; this oracle checks
+    the cell-bounded semantics exactly."""
+    from angola_erp_ocr_spark.operators.dedup import semdedup_groups
+
+    return semdedup_groups(_emb(spark, sf_dir), n_cells=8, threshold=0.3)
+
+
+SQL_SEMDEDUP_GROUPS = """
+WITH RECURSIVE v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, vv AS cv
+  FROM (SELECT id, vv FROM v ORDER BY id LIMIT 8)),
+asg AS (
+  SELECT id, vv, cell FROM (
+    SELECT v.id, v.vv, cent.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+               i -> (vv[i] - cv[i]) * (vv[i] - cv[i]))), 6) ASC,
+               cent.cell ASC) AS rnk
+    FROM v, cent)
+  WHERE rnk = 1),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+  WHERE round(list_dot_product(a.vv, b.vv)
+              / (sqrt(list_dot_product(a.vv, a.vv))
+                 * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+SELECT component_id, min(id) AS keeper,
+       array_to_string(list_sort(list(id)), ',') AS members,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY component_id
+"""
+
+_QUERIES["semdedup_groups"] = q_semdedup_groups
+_ORACLES["semdedup_groups"] = SQL_SEMDEDUP_GROUPS
+
+
 # ===========================================================================
 # Round 2: scale-safe SimHash pairing, end-to-end near-dup groups
 # (LSH → Jaccard verify → connected components), ANN-LSH oracle,

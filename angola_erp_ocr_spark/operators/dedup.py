@@ -591,3 +591,68 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         .groupBy("id_a", "id_b")           # a pair can match in >1 band
         .agg(F.min("cosine").alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — loose-threshold semantic dedup via IVF-cell-bounded verify
+# ---------------------------------------------------------------------------
+
+def semdedup_pairs(emb: DataFrame, n_cells: int = 8,
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space (here the engine's
+    deterministic IVF cells — a k-means stand-in whose init is
+    reproducible in SQL), then compare pairs ONLY within a cell.
+
+    This is the loose-threshold escape hatch the hyperplane-banding
+    analysis (``embedding_near_dups``) names: banding's recall collapses
+    as the cosine threshold drops (near-dups no longer share band bits),
+    while cell-bounded verify stays exact WITHIN cells at cost
+    Σ|cell|² — the published SemDeDup trade: at 10^9 vectors pick
+    n_cells so cells hold ~10^4 vectors (the paper uses 50k clusters on
+    LAION-440M), and the quadratic term stays ~10^8 dot products per
+    cell group, an equi-join + within-partition compare, never a global
+    cross join. Missed pairs are exactly the cross-cell ones (recall is
+    pinned against brute force in tests/test_dataops.py)."""
+    from .similarity import dot, ivf_assign, ivf_centroids, norm
+
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    assigned = ivf_assign(emb, cent, id_col, vec_col)  # (id, v, cell)
+    a = assigned.select("cell", F.col("id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot(F.col("va"), F.col("vb"))
+                    / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+            .alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_groups(emb: DataFrame, n_cells: int = 8,
+                    threshold: float = 0.9, max_iters: int = 20,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    algorithm: str = "propagate") -> DataFrame:
+    """(component_id, keeper, members, n_members) over the semantic-dup
+    graph — same group/keeper election as ``neardup_groups`` (keeper =
+    min id; the paper's keep-farthest-from-centroid is a drop-in
+    alternative election, min id keeps the oracle shared with the text
+    dedup family)."""
+    pairs = semdedup_pairs(emb, n_cells, threshold, id_col, vec_col)
+    comp = connected_components(pairs, max_iters, algorithm)
+    return (
+        comp.groupBy(F.col("comp").alias("component_id"))
+        .agg(
+            F.min("id").alias("keeper"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("id")),
+                            lambda x: x.cast("string")), ",").alias("members"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )

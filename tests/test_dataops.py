@@ -368,3 +368,45 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     run_once()
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got2 == {"a", "c", "e"}
+
+
+def test_semdedup_recall_vs_brute_force(spark):
+    """SemDeDup's premise: true semantic duplicates are near-identical
+    vectors, so they share an IVF cell almost surely and the cell-bounded
+    pairwise verify recovers them. Plant 40 duplicate pairs (tiny
+    deterministic perturbations of base vectors) among 120 background
+    vectors; recall of the planted high-threshold pairs vs the O(N²)
+    brute force must be ≥ 0.9 (a boundary-straddling pair may land in two
+    cells — the documented cross-cell miss)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(160, 64))
+    rows = []
+    vid = 0
+    brute_pairs = set()
+    for i in range(160):
+        rows.append((vid, [float(x) for x in base[i]]))
+        if i < 40:  # planted near-dup: cosine ≈ 1 with its base
+            dup = base[i] + 1e-4 * rng.normal(size=64)
+            rows.append((vid + 1, [float(x) for x in dup]))
+            brute_pairs.add((vid, vid + 1))
+            vid += 1
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = dedup.semdedup_pairs(emb, n_cells=8, threshold=0.99).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+
+    # brute-force truth at the same threshold
+    V = np.array([r[1] for r in sorted(rows)])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    ids = [r[0] for r in sorted(rows)]
+    truth = {(ids[i], ids[j])
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if S[i, j] >= 0.99}
+    assert truth >= brute_pairs          # the plant is in the truth set
+    recall = len(got_pairs & truth) / max(len(truth), 1)
+    assert recall >= 0.9, (recall, len(truth), len(got_pairs))
+    assert got_pairs <= truth            # cell-bounded verify is exact
