@@ -397,3 +397,22 @@ def test_raster_preprocessing_ops(spark):
     assert got["p1"]["orientation"] == 0
     assert got["p2"]["orientation"] == 90
     assert abs(got["p2"]["skew_deg"] - 2.5) <= 0.25     # recovered after rot
+
+
+def test_driver_window_matches_committed_file():
+    """The driver validates list(queries())[:50]; DRIVER_WINDOW.md is the
+    committed record of that set (ADVICE r4: window composition must be a
+    reviewable diff, not a dict-ordering side effect). Regenerate with
+    `python tools/write_window.py` after changing the registry."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import write_window
+
+    with open(os.path.join(repo, "DRIVER_WINDOW.md")) as f:
+        committed = f.read()
+    assert committed == write_window.render(), (
+        "DRIVER_WINDOW.md is stale — run `python tools/write_window.py` "
+        "and review the diff")
