@@ -281,6 +281,24 @@ def test_star_cc_chain_olog_rounds(spark):
     assert rounds <= 24, f"star CC took {rounds} rounds on a 2^10 chain"
 
 
+def test_star_cc_raises_when_fixpoint_not_reached(spark):
+    """Short of the star-forest fixpoint a node can carry two contradictory
+    labels (ADVICE r3/r4) — corrupt output must be a loud failure, never a
+    silent one. max_iters=1 on a 2^10 chain cannot converge."""
+    import pytest
+
+    from angola_erp_ocr_spark.operators.dedup import connected_components
+
+    n = 1 << 10
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iters=1, algorithm="star")
+    # and the converged flag is exposed on a successful run
+    connected_components(pairs, max_iters=40, algorithm="star")
+    assert connected_components.last_converged is True
+
+
 def test_star_cc_matches_propagation_on_random_graphs(spark):
     """star ≡ propagate on seeded random graphs (same (id, comp) map)."""
     import random
