@@ -1,0 +1,75 @@
+"""Unit tests for stagelog.stage_scaling_table — the plan-node pairing
+that replaced round-3's positional zip (VERDICT r3 task 2, ADVICE r3).
+
+Pure Python, no Spark session: the function consumes already-parsed
+stage dicts, so the tests feed synthetic event-log rows directly.
+"""
+from angola_erp_ocr_spark.stagelog import stage_scaling_table
+
+
+def _stage(name, sub, wall, tasks=8, occ_shuffle=0.0, exec_run=None):
+    return {
+        "stage_id": sub,
+        "name": name,
+        "tasks": tasks,
+        "submitted_ms": sub,
+        "wall_ms": wall,
+        "exec_run_ms": exec_run if exec_run is not None else wall * tasks,
+        "exec_cpu_ms": 0,
+        "shuffle_write_mb": 0.0,
+        "shuffle_read_mb": occ_shuffle,
+    }
+
+
+def test_pairs_by_name_occurrence_not_position():
+    """An extra AQE-only stage at the big level must NOT shift the pairing
+    of everything after it (the positional-zip failure mode that printed
+    0.03/9.27-class 'efficiencies' in the r3 tables)."""
+    small = [
+        _stage("scan parquet", 0, 2000),
+        _stage("collect at run.py:74", 10, 40000),
+        _stage("collect at run.py:74", 20, 80000),
+    ]
+    big = [
+        _stage("scan parquet", 0, 600),
+        _stage("aqe shuffle coalesce", 5, 300),  # only exists at big
+        _stage("collect at run.py:74", 10, 11000),
+        _stage("collect at run.py:74", 20, 21000),
+    ]
+    rows = stage_scaling_table(small, big, factor=4)
+    by_key = {(r["name"], r["occurrence"]): r for r in rows}
+
+    # the two same-named collects pair 1st-with-1st, 2nd-with-2nd
+    c0 = by_key[("collect at run.py:74", 0)]
+    c1 = by_key[("collect at run.py:74", 1)]
+    assert (c0["wall_ms_small"], c0["wall_ms_big"]) == (40000, 11000)
+    assert (c1["wall_ms_small"], c1["wall_ms_big"]) == (80000, 21000)
+    assert c0["efficiency"] == round(40000 / (4 * 11000), 3)
+    assert c1["efficiency"] == round(80000 / (4 * 21000), 3)
+
+    # the AQE stage is surfaced as unpaired with no efficiency, not dropped
+    aqe = by_key[("aqe shuffle coalesce", 0)]
+    assert aqe["unpaired"] == "big"
+    assert aqe["efficiency"] is None
+
+
+def test_negligible_rows_carry_no_efficiency():
+    """Both walls under the threshold → fixed overhead: flagged, and the
+    wall ratio (which would read as an absurd 'efficiency') is suppressed."""
+    small = [_stage("overhead", 0, 38), _stage("work", 10, 9000)]
+    big = [_stage("overhead", 0, 14), _stage("work", 10, 2500)]
+    rows = stage_scaling_table(small, big, factor=4, negligible_ms=1000)
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["overhead"]["negligible"] is True
+    assert by_name["overhead"]["efficiency"] is None
+    assert by_name["work"]["negligible"] is False
+    assert by_name["work"]["efficiency"] == round(9000 / (4 * 2500), 3)
+
+
+def test_rows_ordered_by_first_submission():
+    small = [_stage("a", 100, 5000), _stage("b", 200, 5000)]
+    big = [_stage("z_first_at_big", 0, 5000),
+           _stage("a", 100, 1250), _stage("b", 200, 1250)]
+    rows = stage_scaling_table(small, big, factor=4)
+    assert [r["name"] for r in rows] == ["z_first_at_big", "a", "b"]
+    assert [r["idx"] for r in rows] == [0, 1, 2]
