@@ -36,10 +36,20 @@ def resolve_languages(requests: DataFrame, registry: DataFrame,
     ``resolved_lang`` = the request itself when ok, else the fallback —
     the reference's behavior of quietly dropping to a safe pack rather
     than crashing the OCR call on a missing traineddata file.
+
+    Null / empty requests keep their row (split(null) would explode to
+    zero rows and silently drop the document — ADVICE r4): they emit
+    ``lang_ok=false, resolved_lang=FALLBACK_LANG``, the same safe-pack
+    fallback a missing component gets.
     """
     comp = requests.select(
         F.col(id_col).alias("id"), F.col(lang_col).alias("requested_lang"),
-        F.explode(F.split(lang_col, r"\+")).alias("lang"))
+        F.explode(F.split(
+            # null/empty → a single component no registry row matches,
+            # so the doc survives the explode and resolves to fallback
+            F.when(F.col(lang_col).isNull() | (F.col(lang_col) == ""),
+                   F.lit("__missing__"))
+            .otherwise(F.col(lang_col)), r"\+")).alias("lang"))
     reg = F.broadcast(registry.select("lang", F.lit(True).alias("_known")))
     joined = comp.join(reg, "lang", "left")
     return (

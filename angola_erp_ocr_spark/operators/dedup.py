@@ -348,6 +348,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
     if algorithm == "star":
         labels, rounds, converged = _cc_large_small_star(pairs, max_iters)
         if not converged:
+            # Record the failure before raising — otherwise last_converged
+            # keeps the stale value from the previous call (ADVICE r4).
+            connected_components.last_rounds = rounds
+            connected_components.last_converged = False
             # The star labeling is only valid AT the star-forest fixpoint;
             # short of it a node can carry two contradictory labels that
             # flow silently into neardup_groups (ADVICE r4). Corrupt
@@ -366,7 +370,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
     return labels
 
 
-def _cc_propagate(pairs: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
+def _cc_propagate(
+        pairs: DataFrame, max_iters: int) -> tuple[DataFrame, int, bool]:
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -405,7 +410,7 @@ def _cc_propagate(pairs: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
 
 
 def _cc_large_small_star(pairs: DataFrame,
-                         max_iters: int) -> tuple[DataFrame, int]:
+                         max_iters: int) -> tuple[DataFrame, int, bool]:
     """Alternating large-star / small-star rounds to a star-forest
     fixpoint. Edges kept canonical as (lo < hi).
 

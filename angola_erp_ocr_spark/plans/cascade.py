@@ -225,15 +225,23 @@ def cascade_ladder_committed(
     keep-best merge — with ``<field>_pass`` provenance columns — commits
     to ``fields_ladder``, so the committed table records which rung won
     every field. Re-running after completion only re-extracts never-
-    recovered docs; duplicate (doc, pass_no) rows merge to identical
-    values (same configuration ⇒ same extraction), so the merge stays
-    deterministic."""
-    from .snapshot import read_snapshots, snapshot_append
+    recovered docs — the committed-recovery anti-join applies before
+    EVERY rung, including rung 1 on a resume, and when no rung extracted
+    anything new the final ``fields_ladder`` append is skipped, so a
+    completed ladder re-run is a metadata-only no-op; duplicate
+    (doc, pass_no) rows merge to identical values (same configuration ⇒
+    same extraction), so the merge stays deterministic."""
+    from .snapshot import committed_snapshots, read_snapshots, snapshot_append
 
     passes_table = f"{out_dir}/fields_passes"
     todo = documents
+    appended_any = False
     for rung in ladder:
-        if rung["pass_no"] > 1:
+        # On a resume (any committed passes exist) the recovered-docs
+        # anti-join applies before rung 1 too — otherwise every re-run
+        # after completion re-extracts the FULL corpus at rung 1 and
+        # appends a duplicate pass-1 snapshot (ADVICE r4).
+        if rung["pass_no"] > 1 or committed_snapshots(passes_table):
             committed = read_snapshots(spark, passes_table)
             done = merge_retry_fields(
                 committed, field_cols, must_fields=must_fields
@@ -244,6 +252,7 @@ def cascade_ladder_committed(
         ext = extract(todo, media_pages, repeat_k,
                       conf_threshold=rung["conf"], dpi=rung["dpi"])
         snapshot_append(_fields_for_pass(ext, rung, field_cols), passes_table)
+        appended_any = True
     merged = merge_retry_fields(
         read_snapshots(spark, passes_table), field_cols,
         must_fields=must_fields)
@@ -251,5 +260,9 @@ def cascade_ladder_committed(
         documents.select("doc_id").join(merged, "doc_id", "left")
         .withColumn("must_ok", F.coalesce(F.col("must_ok"), F.lit(False)))
     )
-    snapshot_append(final, f"{out_dir}/fields_ladder")
+    ladder_table = f"{out_dir}/fields_ladder"
+    # A completed-ladder re-run extracted nothing; the merge is identical
+    # to the last committed fields_ladder snapshot — don't grow the table.
+    if appended_any or not committed_snapshots(ladder_table):
+        snapshot_append(final, ladder_table)
     return final

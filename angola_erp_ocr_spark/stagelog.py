@@ -121,10 +121,37 @@ def stage_scaling_table(small: list[dict], big: list[dict],
 
     ka, kb = keyed(small), keyed(big)
     rows = []
-    order = {k: s["submitted_ms"] for k, s in ka.items()}
-    order.update({k: min(order.get(k, 1 << 62), s["submitted_ms"])
-                  for k, s in kb.items()})
-    for i, k in enumerate(sorted(order, key=order.get)):
+    # Display order = order-preserving MERGE of the two runs' per-run
+    # submission sequences, not raw submitted_ms: the two runs' clocks
+    # are unrelated, so with absolute timestamps every big-only
+    # (unpaired) stage would sort after ALL small-run stages regardless
+    # of plan position (ADVICE r4). The big run's sequence is primary
+    # (it sees every stage the small run does plus AQE extras);
+    # small-only stages slot in before the next shared stage that
+    # follows them in the small run's own order.
+    def seq(keyed_stages: dict) -> list:
+        return sorted(keyed_stages, key=lambda k: keyed_stages[k]["submitted_ms"])
+
+    seq_small, seq_big = seq(ka), seq(kb)
+    merged, emitted, si = [], set(), 0
+    for k in seq_big:
+        if k in ka:
+            while si < len(seq_small) and seq_small[si] != k:
+                kk = seq_small[si]
+                if kk not in kb and kk not in emitted:
+                    merged.append(kk)
+                    emitted.add(kk)
+                si += 1
+            if si < len(seq_small):
+                si += 1
+        if k not in emitted:
+            merged.append(k)
+            emitted.add(k)
+    for k in seq_small:
+        if k not in emitted:
+            merged.append(k)
+            emitted.add(k)
+    for i, k in enumerate(merged):
         a, b = ka.get(k), kb.get(k)
         if a is None or b is None:
             side = a or b

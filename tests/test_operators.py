@@ -416,3 +416,22 @@ def test_driver_window_matches_committed_file():
     assert committed == write_window.render(), (
         "DRIVER_WINDOW.md is stale — run `python tools/write_window.py` "
         "and review the diff")
+
+
+def test_resolve_languages_keeps_null_and_empty_requests(spark):
+    """split(null) explodes to zero rows, which used to DROP the document
+    from the output (ADVICE r4). Null/empty requests must survive with
+    the same safe-pack fallback a missing component gets."""
+    from angola_erp_ocr_spark.functions.languages import (
+        FALLBACK_LANG, language_registry, resolve_languages)
+
+    reqs = spark.createDataFrame(
+        [("d1", "por"), ("d2", None), ("d3", ""), ("d4", "por+xxx")],
+        "doc_id string, requested_lang string")
+    out = {r["doc_id"]: r for r in
+           resolve_languages(reqs, language_registry(spark)).collect()}
+    assert set(out) == {"d1", "d2", "d3", "d4"}  # every doc kept
+    assert out["d1"]["lang_ok"] and out["d1"]["resolved_lang"] == "por"
+    for d in ("d2", "d3", "d4"):
+        assert out[d]["lang_ok"] is False
+        assert out[d]["resolved_lang"] == FALLBACK_LANG

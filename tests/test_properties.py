@@ -294,6 +294,9 @@ def test_star_cc_raises_when_fixpoint_not_reached(spark):
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(pairs, max_iters=1, algorithm="star")
+    # the raise path must record the failure, not leave a stale flag
+    # from a previous successful call (ADVICE r4)
+    assert connected_components.last_converged is False
     # and the converged flag is exposed on a successful run
     connected_components(pairs, max_iters=40, algorithm="star")
     assert connected_components.last_converged is True

@@ -410,3 +410,48 @@ def test_snapshot_seq_claim_is_atomic(spark, tmp_path):
     assert m2["seq"] == 2       # claimed seq 1 was NOT reallocated
     latest = read_snapshots_latest(spark, table)
     assert latest.first()["v"] == 2   # latest-wins unaffected
+
+
+def test_cascade_ladder_committed_rerun_is_noop_when_all_recovered(
+        spark, tmp_path):
+    """Re-running a COMPLETED ladder must not re-extract the corpus at
+    rung 1 nor append duplicate snapshots (ADVICE r4): the committed-
+    recovery anti-join applies before rung 1 on resume, and when nothing
+    new was extracted the fields_ladder append is skipped entirely."""
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.plans.cascade import cascade_ladder_committed
+    from angola_erp_ocr_spark.plans.snapshot import committed_snapshots
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    # all-recoverable corpus: classes 0 (clean), 1 (low-conf), 2 (tiny)
+    def page(cls):
+        conf = {0: 80, 1: 25, 2: 80}[cls]
+        h = 2 if cls == 2 else 12
+        return bytearray(encode_page([
+            dict(x=40 + 70 * i, y=10, w=60, h=h, conf=conf, block=0, par=0,
+                 line=0, word_idx=i, text=t)
+            for i, t in enumerate(["TOTAL", f"{100 + cls},00", "AKZ"])
+        ]))
+
+    docs, media = [], []
+    for i in range(6):
+        did, cls = f"d{i}", i % 3
+        docs.append((did, None, [("media", "", f"page://{did}/0", 0)]))
+        media.append((f"page://{did}/0", 0, page(cls), 150))
+    raw = spark.createDataFrame(docs, DOCUMENTS_RAW).select("doc_id", "spans")
+    pages = spark.createDataFrame(media, MEDIA_PAGE)
+
+    out = str(tmp_path / "ladder")
+    first = {r["doc_id"]: r for r in
+             cascade_ladder_committed(spark, raw, pages, out).collect()}
+    assert all(r["must_ok"] for r in first.values())
+    n_passes = len(committed_snapshots(f"{out}/fields_passes"))
+    n_ladder = len(committed_snapshots(f"{out}/fields_ladder"))
+    assert n_ladder == 1
+
+    second = {r["doc_id"]: r for r in
+              cascade_ladder_committed(spark, raw, pages, out).collect()}
+    assert len(committed_snapshots(f"{out}/fields_passes")) == n_passes
+    assert len(committed_snapshots(f"{out}/fields_ladder")) == n_ladder
+    assert {d: r["total_amount"] for d, r in second.items()} == \
+           {d: r["total_amount"] for d, r in first.items()}

@@ -73,3 +73,27 @@ def test_rows_ordered_by_first_submission():
     rows = stage_scaling_table(small, big, factor=4)
     assert [r["name"] for r in rows] == ["z_first_at_big", "a", "b"]
     assert [r["idx"] for r in rows] == [0, 1, 2]
+
+
+def test_order_is_per_run_plan_position_not_cross_run_clock():
+    """The two runs' clocks are unrelated (ADVICE r4): a big run whose
+    absolute timestamps all EXCEED the small run's must still interleave
+    its unpaired stages at their plan position, not after every small
+    stage; small-only stages slot before the shared stage that follows
+    them in the small run's own order."""
+    small = [_stage("a", 100, 5000), _stage("small_only", 150, 900),
+             _stage("b", 200, 5000)]
+    # big clock starts at 1e9 — every big timestamp > every small one
+    big = [_stage("a", 1_000_000_000, 1250),
+           _stage("big_only_mid", 1_000_000_100, 700),
+           _stage("b", 1_000_000_200, 1250)]
+    rows = stage_scaling_table(small, big, factor=4)
+    names = [r["name"] for r in rows]
+    # both unpaired stages land BETWEEN their shared anchors a and b
+    # (their order relative to each other is genuinely ambiguous)
+    assert names[0] == "a" and names[-1] == "b"
+    assert set(names[1:3]) == {"small_only", "big_only_mid"}
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["small_only"]["unpaired"] == "small"
+    assert by_name["big_only_mid"]["unpaired"] == "big"
+    assert by_name["a"]["efficiency"] == 1.0
