@@ -2253,7 +2253,7 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf gate AND render-DPI resolution model (ocr.MIN_GLYPH_PX) — with
     fields from the real L13 extractor and the keep-best merge's
     ``<field>_pass`` provenance. One scanned page per documents-table row;
-    doc_id % 4 picks the recovery class:
+    doc_id % 5 picks the recovery class:
       0 → clean (conf 80, 12 pt)      → every field recovered at pass 1
       1 → low-confidence scan (conf 25) → fails rung 1 (gate 30), read at
           rung 2 (gate 20)
@@ -2261,9 +2261,17 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
           (2·250 and 2·270 < 8 px·72), read only at rung 3
       3 → hopeless (conf 5)           → below every gate; all-null fields,
           must_ok = false (the ERRO_QUALIDADE terminal state)
+      4 → LANGUAGE-determined (r5, VERDICT r4 task 4): the amount line's
+          keyword is the English "TAXABLE" at conf 5 — below EVERY rung's
+          conf gate (30/20/10), so no gate and no DPI can recover it; it
+          is recovered exclusively by rung 2's ``lang='eng'`` lexicon
+          rescue (functions/languages.LANG_LEXICONS; rung 1's 'por' pack
+          does not contain it). total_amount_pass = 2 BECAUSE of the
+          language, while currency/date (conf 80) resolve at pass 1 —
+          the winning pass differs per field within one document.
     The oracle predicts the exact field VALUES and winning pass numbers
-    from doc_id arithmetic (reference sweep util/ocr_pdf.py:1170-1183,
-    keep-best 2388-2402)."""
+    from doc_id arithmetic (reference sweep util/ocr_pdf.py:1170-1183 —
+    the lang sweep is half the reference ladder; keep-best 2388-2402)."""
     from angola_erp_ocr_spark.plans.cascade import extract_ladder
     from angola_erp_ocr_spark.schema import MEDIA_PAGE
 
@@ -2286,21 +2294,25 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                cls = did % 4
-                conf = {0: 80, 1: 25, 2: 80, 3: 5}[cls]
+                cls = did % 5
+                conf = {0: 80, 1: 25, 2: 80, 3: 5, 4: 80}[cls]
                 h = 2 if cls == 2 else 12
+                kw = "TAXABLE" if cls == 4 else "TOTAL"
                 lines = [
                     "MULTICAIXA EXPRESS",
-                    f"TOTAL {100 + did % 900},00 AKZ",
+                    f"{kw} {100 + did % 900},00 AKZ",
                     f"DATA 2023/{1 + did % 12:02d}/{1 + did % 28:02d}",
                 ]
                 words = []
                 for ln, text in enumerate(lines):
                     x = 40
                     for k, w in enumerate(text.split(" ")):
+                        # class 4: ONLY the eng keyword is sub-gate —
+                        # its recovery channel is the lang lexicon
+                        wconf = 5 if (cls == 4 and w == "TAXABLE") else conf
                         words.append(dict(
                             x=x, y=10 + 14 * ln, w=8 * len(w), h=h,
-                            conf=conf, block=0, par=0, line=ln,
+                            conf=wconf, block=0, par=0, line=ln,
                             word_idx=k, text=w))
                         x += 8 * len(w) + 8
                 rows.append(dict(media_ref=f"page://lad/{did}", page_no=0,
@@ -2317,19 +2329,22 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CASCADE_LADDER = """
 SELECT doc_id,
-  CASE WHEN doc_id % 4 <> 3
+  CASE WHEN doc_id % 5 <> 3
        THEN printf('%d,00', 100 + doc_id % 900) END AS total_amount,
-  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS INT)
+  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                       WHEN 4 THEN 2 END AS INT)
     AS total_amount_pass,
-  CASE WHEN doc_id % 4 <> 3 THEN 'AKZ' END AS currency,
-  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS INT)
+  CASE WHEN doc_id % 5 <> 3 THEN 'AKZ' END AS currency,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                       WHEN 4 THEN 1 END AS INT)
     AS currency_pass,
-  CASE WHEN doc_id % 4 <> 3
+  CASE WHEN doc_id % 5 <> 3
        THEN printf('2023/%02d/%02d', 1 + doc_id % 12, 1 + doc_id % 28) END
     AS invoice_date,
-  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS INT)
+  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                       WHEN 4 THEN 1 END AS INT)
     AS invoice_date_pass,
-  (doc_id % 4 <> 3) AS must_ok
+  (doc_id % 5 <> 3) AS must_ok
 FROM documents
 """
 

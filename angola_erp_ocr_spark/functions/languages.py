@@ -22,6 +22,48 @@ AVAILABLE_LANGS: list[tuple[str, int]] = [
 ]
 FALLBACK_LANG = "eng"
 
+# Per-language LEXICONS — the behavioral payload of a language pack (r5,
+# VERDICT r4 task 4). Tesseract's traineddata carries a word dictionary
+# that VALIDATES low-confidence recognitions (the dawg word-list boost);
+# the reference's lang sweep (util/ocr_pdf.py:1170-1183) exists precisely
+# because a pass with the right language recovers words the wrong
+# language cannot. The deterministic stand-in: a word below the rung's
+# confidence gate is rescued iff it appears in the ACTIVE lexicon — so a
+# `por+eng` rung really does recover words a `por` rung cannot, making
+# the ladder's lang column a behavioral dimension, not provenance-only.
+# Uppercase document keywords per pack (wordlist_langs.txt analogue).
+LANG_LEXICONS: dict[str, frozenset[str]] = {
+    "por": frozenset({
+        "FACTURA", "RECIBO", "TOTAL", "MONTANTE", "VALOR", "DATA",
+        "FORNECEDOR", "PAGO", "CONTRIBUINTE", "SERIE", "MODELO", "BANCO",
+    }),
+    "eng": frozenset({
+        "INVOICE", "RECEIPT", "TOTAL", "AMOUNT", "TAXABLE", "DATE",
+        "SUPPLIER", "PAYMENT", "PAID", "NUMBER", "BANK",
+    }),
+    "spa": frozenset({"FACTURA", "TOTAL", "IMPORTE", "FECHA", "RECIBO"}),
+    "fra": frozenset({"FACTURE", "TOTAL", "MONTANT", "DATE", "RECU"}),
+}
+
+
+def lexicon_for(spec: str | None) -> frozenset[str] | None:
+    """Language spec ('por', 'por+eng', …) → the active lexicon: the
+    union of the components' word lists. Mirrors ``resolve_languages``
+    exactly — a null/empty spec or any unavailable component resolves to
+    the FALLBACK pack (the reference's safe-pack drop), never a crash.
+    ``None`` in → ``None`` out (no lexicon rescue at all — the flagship
+    default, so queries that don't opt in are byte-identical)."""
+    if spec is None:
+        return None
+    known = {lang for lang, _ in AVAILABLE_LANGS}
+    comps = [c for c in spec.split("+") if c]
+    if not comps or any(c not in known for c in comps):
+        comps = [FALLBACK_LANG]
+    out: frozenset[str] = frozenset()
+    for c in comps:
+        out |= LANG_LEXICONS.get(c, frozenset())
+    return out
+
 
 def language_registry(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(AVAILABLE_LANGS, ["lang", "wordlist_size"])

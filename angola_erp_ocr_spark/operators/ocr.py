@@ -44,6 +44,12 @@ CONF_THRESHOLD = 30  # util/ocr_pdf.py:390-392
 MIN_GLYPH_PX = 8
 _GLYPH_GATE = MIN_GLYPH_PX * 72
 
+# Lexicon rescue floor (r5): a sub-gate word can be dictionary-validated
+# (Tesseract dawg word-list boost; reference lang sweep
+# util/ocr_pdf.py:1170-1183) only if its raw confidence is at least this —
+# near-zero recognitions are glyph garbage no dictionary should bless.
+LEXICON_RESCUE_MIN_CONF = 3
+
 # Skew detection for the fused decode stage (I3 inside the flagship
 # path): on an upright page every word of a physical line shares its y
 # anchor (small OCR jitter aside); under a rotation θ the words of one
@@ -220,8 +226,17 @@ def segment_blocks(words: DataFrame) -> DataFrame:
 def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
               conf_threshold: int = CONF_THRESHOLD,
               emit_qr: bool = False, dpi: int | None = None,
-              deskew: bool = True) -> DataFrame:
+              deskew: bool = True,
+              lexicon: frozenset[str] | None = None) -> DataFrame:
     """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
+
+    ``lexicon`` (default None = off) is the language dimension (r5): a
+    word BELOW the confidence gate (but ≥ LEXICON_RESCUE_MIN_CONF, and
+    still resolvable under the ``dpi`` model) is kept iff its uppercased
+    text is in the active language lexicon — the deterministic stand-in
+    for Tesseract's dictionary validation, which is why the reference
+    sweeps languages at all (util/ocr_pdf.py:1170-1183). Build the set
+    with ``functions.languages.lexicon_for("por+eng")``.
 
     ``deskew`` (default on) runs I3 inside the decode stage: a scanned
     page's physical skew surfaces as ROTATED word-box coordinates
@@ -310,6 +325,21 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
         keepm = (hdr["conf"] > conf_threshold) & (hdr["conf"] != 255)
         if dpi is not None:  # resolution model (see MIN_GLYPH_PX)
             keepm &= hdr["h"].astype(np.int64) * dpi >= _GLYPH_GATE
+        if lexicon:
+            # dictionary validation: sub-gate words rescued iff in the
+            # active lexicon; never below the conf floor, and a glyph the
+            # resolution model cannot resolve stays unreadable
+            resc = ((~keepm) & (hdr["conf"] != 255)
+                    & (hdr["conf"] >= LEXICON_RESCUE_MIN_CONF))
+            if dpi is not None:
+                resc &= hdr["h"].astype(np.int64) * dpi >= _GLYPH_GATE
+            cand = np.nonzero(resc)[0]
+            if len(cand):
+                hit = np.fromiter(
+                    (joined[tstart[i]:tend[i]].decode("utf-8", "replace")
+                     .upper() in lexicon for i in cand.tolist()),
+                    bool, count=len(cand))
+                keepm[cand[hit]] = True
         wp = word_page[keepm]
         h = hdr[keepm]
         # (page, block, par, line, word_idx) in one int64 key; page index
@@ -434,6 +464,16 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                 keepm = (hdr["conf"] > conf_threshold) & (hdr["conf"] != 255)
                 if dpi is not None:  # resolution model (see MIN_GLYPH_PX)
                     keepm &= hdr["h"].astype(np.int64) * dpi >= _GLYPH_GATE
+                if lexicon:
+                    # dictionary validation (same rule as the batch path)
+                    resc = ((~keepm) & (hdr["conf"] != 255)
+                            & (hdr["conf"] >= LEXICON_RESCUE_MIN_CONF))
+                    if dpi is not None:
+                        resc &= (hdr["h"].astype(np.int64) * dpi
+                                 >= _GLYPH_GATE)
+                    for i in np.nonzero(resc)[0].tolist():
+                        if texts[i].upper() in lexicon:
+                            keepm[i] = True
                 keep = np.nonzero(keepm)[0]
                 if len(keep) == 0:
                     continue

@@ -71,11 +71,14 @@ def extract_with_retry(
 # over wordlist_langs.txt (util/ocr_pdf.py:1170-1183, 2309-2419;
 # `resolucao` ladder api/util.py:876,1843,3725). pass_no is the merge
 # priority. Each rung is a REAL extraction configuration: ``conf`` is the
-# word-confidence gate and ``dpi`` drives the resolution model
-# (ocr.MIN_GLYPH_PX) — a later rung's lower gate / higher render DPI
-# recovers words the earlier rung could not resolve, exactly the
-# reference's escalation. psm/lang remain provenance metadata (the exact
-# decoder has no segmentation/lexicon dimension to vary).
+# word-confidence gate, ``dpi`` drives the resolution model
+# (ocr.MIN_GLYPH_PX), and ``lang`` selects the active LEXICON
+# (functions/languages.LANG_LEXICONS via the J4 registry) whose words can
+# be dictionary-rescued below the gate — so a later rung's lower gate,
+# higher render DPI, or different language pack recovers words the
+# earlier rung could not, exactly the reference's escalation. Only psm
+# remains provenance metadata (the exact decoder has no segmentation
+# dimension to vary).
 RETRY_LADDER: list[dict] = [
     # primary (api/util.py:8211-8212 --psm 6 default, 250 DPI render)
     {"pass_no": 1, "psm": 6, "lang": "por", "dpi": 250, "conf": 30},
@@ -126,7 +129,8 @@ def extract_ladder(documents: DataFrame, media_pages: DataFrame,
     passes = None
     for rung in ladder:
         ext = extract(documents, media_pages, repeat_k,
-                      conf_threshold=rung["conf"], dpi=rung["dpi"])
+                      conf_threshold=rung["conf"], dpi=rung["dpi"],
+                      lang=rung.get("lang"))
         leg = _fields_for_pass(ext, rung, field_cols)
         passes = leg if passes is None else passes.unionByName(leg)
     merged = merge_retry_fields(passes, field_cols, must_fields=must_fields)
@@ -250,7 +254,8 @@ def cascade_ladder_committed(
             if todo.isEmpty():
                 break
         ext = extract(todo, media_pages, repeat_k,
-                      conf_threshold=rung["conf"], dpi=rung["dpi"])
+                      conf_threshold=rung["conf"], dpi=rung["dpi"],
+                      lang=rung.get("lang"))
         snapshot_append(_fields_for_pass(ext, rung, field_cols), passes_table)
         appended_any = True
     merged = merge_retry_fields(

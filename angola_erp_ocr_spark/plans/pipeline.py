@@ -118,7 +118,8 @@ def media_markers(documents: DataFrame) -> DataFrame:
 
 def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
                         conf_threshold: int | None = None,
-                        dpi: int | None = None) -> DataFrame:
+                        dpi: int | None = None,
+                        lang: str | None = None) -> DataFrame:
     """OCR path: referenced pages → word stream → conf gate → lines →
     normalized candidates with (doc_id, seg) resolved via the markers."""
     markers = media_markers(documents)
@@ -131,8 +132,11 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
     # surface as a trailing text span of their page (y=QR_Y), exactly how
     # the reference turns the decoded AGT-portal URL into a text line
     # (api/util.py:8087-8174).
+    # lang → active lexicon (J4 registry resolution incl. safe-pack
+    # fallback); None keeps the decode lexicon-free — flagship default
+    from ..functions.languages import lexicon_for
     lines = ocr_lines(pages, passthrough=("doc_id", "seg"), emit_qr=True,
-                      dpi=dpi, **kwargs)
+                      dpi=dpi, lexicon=lexicon_for(lang), **kwargs)
     return lines.select(
         "doc_id",
         F.col("seg").cast("long").alias("seg"),
@@ -146,16 +150,18 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
 
 def extract(documents: DataFrame, media_pages: DataFrame | None = None,
             repeat_k: int = 3, conf_threshold: int | None = None,
-            dpi: int | None = None) -> DataFrame:
+            dpi: int | None = None, lang: str | None = None) -> DataFrame:
     """Full extraction → documents_extracted(doc_id, spans).
 
-    ``conf_threshold``/``dpi`` parameterize the OCR decode for retry-ladder
-    rungs (plans/cascade.py); the defaults are the flagship configuration.
+    ``conf_threshold``/``dpi``/``lang`` parameterize the OCR decode for
+    retry-ladder rungs (plans/cascade.py); the defaults are the flagship
+    configuration (``lang=None`` = no lexicon rescue).
     """
     cands = base_candidates(documents)
     if media_pages is not None:
         cands = cands.unionByName(
-            decoded_media_lines(documents, media_pages, conf_threshold, dpi)
+            decoded_media_lines(documents, media_pages, conf_threshold, dpi,
+                                lang)
             .select(*cands.columns)
         )
 

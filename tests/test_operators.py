@@ -435,3 +435,123 @@ def test_resolve_languages_keeps_null_and_empty_requests(spark):
     for d in ("d2", "d3", "d4"):
         assert out[d]["lang_ok"] is False
         assert out[d]["resolved_lang"] == FALLBACK_LANG
+
+
+def test_lexicon_rescue_in_ocr_lines(spark):
+    """r5 lang dimension: a sub-gate word is rescued iff it is in the
+    active lexicon — never numerics, never below the conf floor, and
+    never a glyph the DPI resolution model cannot resolve."""
+    from angola_erp_ocr_spark.functions.languages import lexicon_for
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.operators.ocr import ocr_lines
+    from angola_erp_ocr_spark.schema import MEDIA_PAGE
+
+    words = [
+        # conf 80: always kept
+        dict(x=0, y=0, w=8, h=12, conf=80, block=0, par=0, line=0,
+             word_idx=0, text="CLEAN"),
+        # conf 5 eng-lexicon word: rescued only when eng pack active
+        dict(x=60, y=0, w=8, h=12, conf=5, block=0, par=0, line=0,
+             word_idx=1, text="TAXABLE"),
+        # conf 5 numeric: no lexicon contains it, never rescued
+        dict(x=130, y=0, w=8, h=12, conf=5, block=0, par=0, line=0,
+             word_idx=2, text="104,00"),
+        # conf 2 lexicon word: below the rescue floor (3), never rescued
+        dict(x=200, y=0, w=8, h=12, conf=2, block=0, par=0, line=0,
+             word_idx=3, text="INVOICE"),
+        # conf 5 lexicon word but 2-pt glyph: unresolvable at 250 DPI
+        dict(x=270, y=0, w=8, h=2, conf=5, block=0, par=0, line=1,
+             word_idx=0, text="AMOUNT"),
+    ]
+    blob = bytearray(encode_page(words))
+    pages = spark.createDataFrame([("m1", 0, blob, 150)], MEDIA_PAGE)
+
+    def texts(**kw):
+        return sorted(r["text"] for r in
+                      ocr_lines(pages, conf_threshold=30, **kw).collect())
+
+    # no lexicon: conf gate only (byte-identical legacy behavior)
+    assert texts(dpi=250) == ["CLEAN"]
+    # por pack: TAXABLE not in it
+    assert texts(dpi=250, lexicon=lexicon_for("por")) == ["CLEAN"]
+    # eng pack: TAXABLE rescued; numeric, sub-floor and tiny-glyph not
+    assert texts(dpi=250, lexicon=lexicon_for("eng")) == ["CLEAN TAXABLE"]
+    # por+eng union behaves like eng here
+    assert texts(dpi=250, lexicon=lexicon_for("por+eng")) == ["CLEAN TAXABLE"]
+    # at 300 DPI the 2-pt glyph resolves (2*300 >= 576) and AMOUNT (eng)
+    # is rescued too
+    assert texts(dpi=300, lexicon=lexicon_for("eng")) == \
+        ["AMOUNT", "CLEAN TAXABLE"]
+    # unavailable pack falls back to eng (J4 safe-pack semantics)
+    assert texts(dpi=250, lexicon=lexicon_for("deu")) == ["CLEAN TAXABLE"]
+
+
+def test_ladder_lang_rung_recovers_what_por_cannot(spark):
+    """r5 VERDICT task 4 teeth: the winning pass of the TAXABLE class is
+    determined by LANGUAGE — with the real ladder (rung 2 = eng) the must
+    field lands at pass 2; with an all-por ladder at the SAME conf/dpi it
+    is never recovered."""
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.plans.cascade import (RETRY_LADDER,
+                                                    extract_ladder)
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    words = []
+    x = 40
+    for k, (w, conf) in enumerate(
+            [("TAXABLE", 5), ("104,00", 80), ("AKZ", 80)]):
+        words.append(dict(x=x, y=10, w=8 * len(w), h=12, conf=conf,
+                          block=0, par=0, line=0, word_idx=k, text=w))
+        x += 8 * len(w) + 8
+    blob = bytearray(encode_page(words))
+    raw = spark.createDataFrame(
+        [("d0", None, [("media", "", "page://d0/0", 0)])],
+        DOCUMENTS_RAW).select("doc_id", "spans")
+    pages = spark.createDataFrame([("page://d0/0", 0, blob, 150)],
+                                  MEDIA_PAGE)
+
+    got = extract_ladder(raw, pages).first()
+    assert got["total_amount"] == "104,00"
+    assert got["total_amount_pass"] == 2      # rung 2 = lang 'eng'
+    assert got["currency_pass"] == 1          # conf-80 words read at rung 1
+    assert got["must_ok"]
+
+    por_only = [{**r, "lang": "por"} for r in RETRY_LADDER]
+    got_por = extract_ladder(raw, pages, ladder=por_only).first()
+    assert got_por["total_amount"] is None    # no gate/DPI can recover it
+    assert not got_por["must_ok"]
+
+
+def test_lexicon_rescue_in_gg01_fallback_path(spark):
+    """The per-page fallback decode (GG01 legacy blobs) applies the SAME
+    lexicon-rescue rule as the vectorized GG02 path."""
+    import struct
+
+    from angola_erp_ocr_spark.functions.languages import lexicon_for
+    from angola_erp_ocr_spark.operators.ocr import ocr_lines
+    from angola_erp_ocr_spark.schema import MEDIA_PAGE
+
+    def gg01(words):
+        out = [struct.pack("<4sH", b"GG01", len(words))]
+        for w in words:
+            tb = w["text"].encode()
+            out.append(struct.pack(
+                "<HHHHBBBBHH", w["x"], w["y"], w["w"], w["h"], w["conf"],
+                w["block"], w["par"], w["line"], w["word_idx"], len(tb)))
+            out.append(tb)
+        return bytearray(b"".join(out))
+
+    words = [
+        dict(x=0, y=0, w=8, h=12, conf=80, block=0, par=0, line=0,
+             word_idx=0, text="CLEAN"),
+        dict(x=60, y=0, w=8, h=12, conf=5, block=0, par=0, line=0,
+             word_idx=1, text="TAXABLE"),
+    ]
+    pages = spark.createDataFrame([("m1", 0, gg01(words), 150)], MEDIA_PAGE)
+    no_lex = [r["text"] for r in
+              ocr_lines(pages, conf_threshold=30).collect()]
+    assert no_lex == ["CLEAN"]
+    eng = [r["text"] for r in
+           ocr_lines(pages, conf_threshold=30,
+                     lexicon=lexicon_for("eng")).collect()]
+    assert eng == ["CLEAN TAXABLE"]
