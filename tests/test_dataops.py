@@ -410,3 +410,117 @@ def test_semdedup_recall_vs_brute_force(spark):
     recall = len(got_pairs & truth) / max(len(truth), 1)
     assert recall >= 0.9, (recall, len(truth), len(got_pairs))
     assert got_pairs <= truth            # cell-bounded verify is exact
+
+
+def test_real_decoder_seam_composes_with_stubbed_pil(spark):
+    """r5 VERDICT task 5: the strict gate's REAL-decoder integration path
+    (_pil_image_decode consuming the PIL Image API surface) runs
+    end-to-end against a stubbed library — strict=True, on executors,
+    emitting decoder='pil', is_synthetic=False rows whose shape matches
+    the labeled-fake output exactly. The stub parses a tiny self-framed
+    format (b'SIMG' + u8 w + u8 h + w*h pixel bytes) the way Pillow
+    parses a PNG; the class is defined inside the test so cloudpickle
+    ships it by VALUE to the Python workers, exactly as a monkeypatched
+    library surface would have to travel."""
+
+    class StubImg:
+        def __init__(self, w, h, px):
+            self.size = (w, h)
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            w, _ = wh
+            step = max(1, len(self._px) // w)
+            return StubImg(w, 1, self._px[::step][:w])
+
+        def tobytes(self):
+            return self._px
+
+    def stub_open(fp):
+        data = fp.read()
+        assert data[:4] == b"SIMG"
+        w, h = data[4], data[5]
+        return StubImg(w, h, data[6:6 + w * h])
+
+    import types
+    stub_pil_image = types.SimpleNamespace(open=stub_open)
+
+    def simg(w, h, seed):
+        return bytes([83, 73, 77, 71, w, h]) + bytes(
+            (seed + i * 7) % 256 for i in range(w * h))
+
+    rows = [("image://s/1", bytearray(simg(16, 4, 3))),
+            ("image://s/2", bytearray(simg(10, 2, 90)))]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+
+    out = {r["media_ref"]: r for r in multimodal.decode_images(
+        df, strict=True, image_module=stub_pil_image).collect()}
+    assert set(out) == {"image://s/1", "image://s/2"}
+    r1 = out["image://s/1"]
+    assert (r1["width"], r1["height"]) == (16, 4)
+    assert r1["decoder"] == "pil" and r1["is_synthetic"] is False
+    assert len(r1["embedding"]) == 8
+    # first thumbnail px (array<float> roundtrip → float32 tolerance)
+    assert abs(r1["embedding"][0] - 3 / 255.0) < 1e-6
+    # shape parity with the labeled-fake path (same schema, same widths)
+    fake = multimodal.decode_images(df, strict=False).columns
+    assert multimodal.decode_images(
+        df, strict=True, image_module=stub_pil_image).columns == fake
+
+
+def test_real_qr_detector_seam_composes_with_stubbed_pyzbar(spark):
+    """Same proof for the QR strict gate: a non-glyph binary routed
+    through _pyzbar_qr_decode against stubbed pyzbar/PIL surfaces,
+    driver-side (extract_qr) and on executors (decode_qr_media)."""
+    import types
+
+    class Code:
+        def __init__(self, data):
+            self.data = data
+
+    def stub_decode(img):
+        # "detect" the QR by reading the stub image's payload tail
+        body = img.payload
+        return [Code(body)] if body else []
+
+    class StubImg2:
+        def __init__(self, payload):
+            self.payload = payload
+
+    def stub_open(fp):
+        data = fp.read()
+        assert data[:4] == b"\x89PNG"
+        return StubImg2(data[4:])
+
+    stub_pyzbar = types.SimpleNamespace(decode=stub_decode)
+    stub_pil = types.SimpleNamespace(open=stub_open)
+
+    blob = b"\x89PNG" + b"https://portaldocontribuinte.minfin.gov.ao/x"
+    got = multimodal.extract_qr(blob, strict=True,
+                                pyzbar_module=stub_pyzbar,
+                                image_module=stub_pil)
+    assert got == "https://portaldocontribuinte.minfin.gov.ao/x"
+    # no detection → None, not a crash
+    assert multimodal.extract_qr(b"\x89PNG", strict=True,
+                                 pyzbar_module=stub_pyzbar,
+                                 image_module=stub_pil) is None
+    # glyph-grid pages still take the exact container path, stub unused
+    from angola_erp_ocr_spark.glyph import encode_page
+    page = multimodal.embed_qr(encode_page([]), "GLYPH-QR")
+    assert multimodal.extract_qr(page, strict=True,
+                                 pyzbar_module=stub_pyzbar,
+                                 image_module=stub_pil) == "GLYPH-QR"
+
+    # executor-side: the stubs travel in the mapInPandas closure
+    df = spark.createDataFrame(
+        [("image://q/1", bytearray(blob)), ("image://q/2", bytearray(b"\x89PNG"))],
+        "media_ref string, payload binary")
+    rows = multimodal.decode_qr_media(df, strict=True,
+                                      pyzbar_module=stub_pyzbar,
+                                      image_module=stub_pil).collect()
+    assert [(r["media_ref"], r["qr_text"]) for r in rows] == [
+        ("image://q/1", "https://portaldocontribuinte.minfin.gov.ao/x")]
