@@ -134,4 +134,7 @@ def write_with_lineage(extracted: DataFrame, out_dir: str, run_id: str) -> dict:
         "max_partition_wall_ms": max((r["wall_ms"] for r in rows),
                                      default=None),
         "partitions": len(rows),
+        # full per-partition rows: the skew-canary test and any operator
+        # dashboard read max/median from here without a second pass
+        "partition_rows": rows,
     }
