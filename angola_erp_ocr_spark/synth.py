@@ -37,6 +37,21 @@ from .operators.multimodal import embed_qr
 
 SEED = 42
 HEAVY_FRACTION = 0.01
+# Pathological-skew class (r5, VERDICT r4 task 1): docs at ids
+# PATHO_START, PATHO_START+PATHO_EVERY, … carry PATHO_PAGES media pages —
+# the 10^4-page documents SCALE.md's salting escape hatch exists for.
+# PATHO_START sits beyond every cached bench corpus (≤ 1M docs), so all
+# existing corpora, oracles and round-over-round bench numbers are
+# byte-identical; the class appears only in the ≥ 2M-doc scale runs
+# (tools/scale10m.py).
+# Env-overridable ONLY for the scale runner's smoke mode
+# (tools/scale10m.py embeds non-default values in its corpus dir name, so
+# a smoke corpus can never be mistaken for the canonical one); every test
+# and bench corpus uses the defaults.
+import os as _os
+PATHO_PAGES = int(_os.environ.get("SPARK_GRAFT_PATHO_PAGES", "10000"))
+PATHO_START = int(_os.environ.get("SPARK_GRAFT_PATHO_START", "2000000"))
+PATHO_EVERY = int(_os.environ.get("SPARK_GRAFT_PATHO_EVERY", "1000000"))
 DPI_LADDER = [150, 200, 250]
 # crooked-scan pages (rotated word boxes; the engine's in-pipeline deskew
 # must restore upright reading order). Angles on the I3 estimator's 0.25°
@@ -221,14 +236,18 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
     """Generate one document: raw spans, golden spans, media pages, fields."""
     rng = random.Random(f"{seed}:{i}")
     doc_id = f"doc{i:08d}"
-    heavy = rng.random() < HEAVY_FRACTION
+    pathological = i >= PATHO_START and i % PATHO_EVERY == 0
+    heavy = pathological or rng.random() < HEAVY_FRACTION
     cls = "noise" if heavy else _CLASS_CYCLE[i % len(_CLASS_CYCLE)]
     body = _body_lines(cls, rng, i)
 
     # Split body into segments; decide digital vs media per segment.
     if heavy:
-        n_pages = 50 + rng.randrange(250)
-        segments = [("media", _body_lines("noise", rng, i * 1000 + p)) for p in range(n_pages)]
+        n_pages = PATHO_PAGES if pathological else 50 + rng.randrange(250)
+        # per-page line-id stride must exceed the page count so line
+        # content stays unique WITHIN the doc (repeated-block golden)
+        stride = 100_000 if pathological else 1000
+        segments = [("media", _body_lines("noise", rng, i * stride + p)) for p in range(n_pages)]
     else:
         media_doc = rng.random() < 0.4  # scanned-receipt path (OCR cascade)
         if media_doc:
