@@ -58,3 +58,19 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     """Join two same-bucketed tables on their bucket key — plans as a
     sort-merge join with no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def repartition_pages_by_ref(media_pages: DataFrame,
+                             partitions: int | None = None) -> DataFrame:
+    """SCALE.md's 10^4-page-document escape hatch as a named op (r5):
+    repartition the PAGE table on ``xxhash64(media_ref)`` — media_ref is
+    unique per page, so a pathological document's pages spread uniformly
+    over the cluster and no document-level key ever feeds a wide
+    operation. The flagship pipeline already gets this for free (pages
+    are the unit of parallelism before any per-doc grouping); use this
+    hatch when page rows arrive doc-clustered from the source layout
+    (e.g. one input file per document) and the scan partitioning would
+    otherwise bind a 10^4-page doc to one task."""
+    key = F.xxhash64("media_ref")
+    return (media_pages.repartition(partitions, key) if partitions
+            else media_pages.repartition(key))

@@ -78,3 +78,25 @@ def test_flagship_partition_walls_stay_balanced(spark, tmp_path):
             f"partitioning regression")
     # every partition emitted, none silently empty-crashed
     assert stats["docs_out"] == 6000
+
+
+def test_salting_escape_hatch_spreads_pathological_doc(spark):
+    """SCALE.md's 10^4-page escape hatch, tested (r5 VERDICT task 1):
+    a single document's 10,000 pages, arriving doc-clustered in ONE input
+    partition, spread near-uniformly after repartition_pages_by_ref —
+    max/median partition load ≤ 1.5, every partition non-empty."""
+    from pyspark.sql import functions as F
+
+    from angola_erp_ocr_spark.plans.scale import repartition_pages_by_ref
+
+    pages = spark.range(0, 10_000, 1, 1).select(
+        F.format_string("page://patho/%d", F.col("id")).alias("media_ref"),
+        F.lit(0).alias("page_no"))
+    spread = repartition_pages_by_ref(pages, 32)
+    counts = sorted(
+        r["n"] for r in spread.groupBy(
+            F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert len(counts) == 32                     # no empty executor slots
+    med = counts[len(counts) // 2]
+    assert counts[-1] / med <= 1.5, f"page spread skewed: {counts}"
