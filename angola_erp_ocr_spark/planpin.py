@@ -53,6 +53,18 @@ def normalized_plan(df) -> str:
     norm = re.sub(r"\[plan_id=\d+\]", "[plan_id=x]", norm)
     norm = re.sub(r"\(\d+\)", "(n)", norm)
     norm = re.sub(r"cvalue_\d+", "cvalue_x", norm)
+    # lambda variables (x_1, y_3, …) are numbered by a session-global
+    # counter — any lambda-bearing query run EARLIER in the session
+    # shifts the numbers in every later plan, which is ordering noise,
+    # not shape. The suffix rides on the variable name before the
+    # (already-normalized) expr id: `lambda y_3#x` → `lambda y_n#x`.
+    norm = re.sub(r"_\d+#x", "_n#x", norm)
+    # RDD ids (`MapPartitionsRDD[8] at applySchemaToPythonRDD…` from
+    # createDataFrame'd dim tables) are another session-global counter
+    norm = re.sub(r"RDD\[\d+\]", "RDD[n]", norm)
+    # …and their creation callsite varies with the invoking stack
+    # (`at NativeMethodAccessorImpl.java:0` vs `at <unknown>:0`)
+    norm = re.sub(r" at [\w<>.$/]+:\d+", " at x:0", norm)
     norm = re.sub(r"Location: \S+", "Location: x", norm)
     norm = re.sub(r"file:[^\s,\]]+", "file:/x", norm)
     return norm

@@ -57,6 +57,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # JVM↔Python-worker channel over Unix domain sockets instead of
+        # loopback TCP. Root cause (measured, r5 10M protocol runs): under
+        # sustained bidirectional Arrow pressure — JVM streaming input
+        # batches while the worker streams output batches — loopback TCP
+        # on this host wedges into a flow-control livelock: both sides'
+        # send queues fill (~4 MB each), a 64 KB segment gets dropped
+        # against a collapsed 5 KB receive window, and the retransmit
+        # backs off to rto=120 s with 13 consecutive losses; the stage
+        # then hangs indefinitely on one task (ss -tnpi capture in
+        # BENCH/ANALYSIS.md §Round-5). UDS has no windows, no
+        # retransmission, and no loss — a blocked write simply waits for
+        # the reader, which Spark's hybrid reader-writer then services.
+        # Override with SPARK_GRAFT_UDS=0 to reproduce the TCP behavior.
+        .config("spark.python.unix.domain.socket.enabled",
+                "false" if os.environ.get("SPARK_GRAFT_UDS") == "0"
+                else "true")
     )
     # Iceberg runtime opt-in (tools/run_iceberg_contract.sh): point
     # SPARK_GRAFT_ICEBERG_JARS at the pinned iceberg-spark-runtime jar(s)

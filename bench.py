@@ -365,6 +365,12 @@ def run_scaling_protocol(corpus: str, n_docs: int,
             "spark-submit", "--master", f"local[{ncpu}]",
             "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
             "--conf", f"spark.sql.shuffle.partitions={2 * ncpu}",
+            # UDS worker channel — same rationale as session.get_spark:
+            # loopback TCP wedged into a retransmission livelock under
+            # bidirectional Arrow pressure on the 10M protocol runs
+            "--conf", "spark.python.unix.domain.socket.enabled="
+                      + ("false" if os.environ.get("SPARK_GRAFT_UDS") == "0"
+                         else "true"),
             "--conf", "spark.sql.adaptive.enabled=true",
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.eventLog.enabled=true",

@@ -100,3 +100,15 @@ def test_salting_escape_hatch_spreads_pathological_doc(spark):
     assert len(counts) == 32                     # no empty executor slots
     med = counts[len(counts) // 2]
     assert counts[-1] / med <= 1.5, f"page spread skewed: {counts}"
+
+
+def test_worker_channel_is_unix_domain_socket(spark):
+    """Config tripwire (r5): the JVM↔Python-worker channel must stay on
+    Unix domain sockets. Loopback TCP on this host livelocks under the
+    bidirectional Arrow pressure of a long mapInPandas stage (measured at
+    the 10M protocol runs: dropped 64 KB segments against a collapsed
+    5 KB receive window, rto backed off to 120 s, stage hung on one task
+    — BENCH/ANALYSIS.md §Round-5). Losing this conf would resurface as a
+    probabilistic multi-minute hang at scale, far from the cause."""
+    assert (spark.conf.get("spark.python.unix.domain.socket.enabled")
+            == "true")
