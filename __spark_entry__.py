@@ -2253,7 +2253,7 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf gate AND render-DPI resolution model (ocr.MIN_GLYPH_PX) — with
     fields from the real L13 extractor and the keep-best merge's
     ``<field>_pass`` provenance. One scanned page per documents-table row;
-    doc_id % 5 picks the recovery class:
+    doc_id % 6 picks the recovery class:
       0 → clean (conf 80, 12 pt)      → every field recovered at pass 1
       1 → low-confidence scan (conf 25) → fails rung 1 (gate 30), read at
           rung 2 (gate 20)
@@ -2269,9 +2269,21 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
           does not contain it). total_amount_pass = 2 BECAUSE of the
           language, while currency/date (conf 80) resolve at pass 1 —
           the winning pass differs per field within one document.
+      5 → SEGMENTATION-determined (r5): every word is clean (conf 80,
+          12 pt, Portuguese), but the scan's embedded line ids are
+          corrupted — "TOTAL" / "<amt>,00" / "AKZ" carry three different
+          line ids, so rung 1's psm 6 (trust embedded segmentation)
+          emits them as three separate lines and the keyword+amount
+          regex never sees them together. Rung 2's psm 4
+          (ocr.RESEGMENT_PSMS — geometric re-segmentation by y row, the
+          aprender_OCR column-aware retry, api/util.py:3725) reunites
+          the line: total_amount_pass = 2 BECAUSE of psm alone (conf,
+          DPI and lang are all non-binding for these words), while
+          currency ("AKZ" matches standalone) and date (intact line)
+          resolve at pass 1.
     The oracle predicts the exact field VALUES and winning pass numbers
     from doc_id arithmetic (reference sweep util/ocr_pdf.py:1170-1183 —
-    the lang sweep is half the reference ladder; keep-best 2388-2402)."""
+    the psm×lang sweep IS the reference ladder; keep-best 2388-2402)."""
     from angola_erp_ocr_spark.plans.cascade import extract_ladder
     from angola_erp_ocr_spark.schema import MEDIA_PAGE
 
@@ -2294,8 +2306,8 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                cls = did % 5
-                conf = {0: 80, 1: 25, 2: 80, 3: 5, 4: 80}[cls]
+                cls = did % 6
+                conf = {0: 80, 1: 25, 2: 80, 3: 5, 4: 80, 5: 80}[cls]
                 h = 2 if cls == 2 else 12
                 kw = "TAXABLE" if cls == 4 else "TOTAL"
                 lines = [
@@ -2310,10 +2322,18 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                         # class 4: ONLY the eng keyword is sub-gate —
                         # its recovery channel is the lang lexicon
                         wconf = 5 if (cls == 4 and w == "TAXABLE") else conf
+                        # class 5: the amount line's embedded
+                        # segmentation is corrupted (each word its own
+                        # line id) — its recovery channel is psm 4's
+                        # geometric re-segmentation
+                        if cls == 5 and ln == 1:
+                            line_id, widx = (1, 3, 4)[k], 0
+                        else:
+                            line_id, widx = ln, k
                         words.append(dict(
                             x=x, y=10 + 14 * ln, w=8 * len(w), h=h,
-                            conf=wconf, block=0, par=0, line=ln,
-                            word_idx=k, text=w))
+                            conf=wconf, block=0, par=0, line=line_id,
+                            word_idx=widx, text=w))
                         x += 8 * len(w) + 8
                 rows.append(dict(media_ref=f"page://lad/{did}", page_no=0,
                                  glyph_grid=encode_page(words), dpi=150))
@@ -2329,22 +2349,22 @@ def q_cascade_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CASCADE_LADDER = """
 SELECT doc_id,
-  CASE WHEN doc_id % 5 <> 3
+  CASE WHEN doc_id % 6 <> 3
        THEN printf('%d,00', 100 + doc_id % 900) END AS total_amount,
-  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
-                       WHEN 4 THEN 2 END AS INT)
+  CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                       WHEN 4 THEN 2 WHEN 5 THEN 2 END AS INT)
     AS total_amount_pass,
-  CASE WHEN doc_id % 5 <> 3 THEN 'AKZ' END AS currency,
-  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
-                       WHEN 4 THEN 1 END AS INT)
+  CASE WHEN doc_id % 6 <> 3 THEN 'AKZ' END AS currency,
+  CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                       WHEN 4 THEN 1 WHEN 5 THEN 1 END AS INT)
     AS currency_pass,
-  CASE WHEN doc_id % 5 <> 3
+  CASE WHEN doc_id % 6 <> 3
        THEN printf('2023/%02d/%02d', 1 + doc_id % 12, 1 + doc_id % 28) END
     AS invoice_date,
-  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
-                       WHEN 4 THEN 1 END AS INT)
+  CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                       WHEN 4 THEN 1 WHEN 5 THEN 1 END AS INT)
     AS invoice_date_pass,
-  (doc_id % 5 <> 3) AS must_ok
+  (doc_id % 6 <> 3) AS must_ok
 FROM documents
 """
 

@@ -50,6 +50,14 @@ _GLYPH_GATE = MIN_GLYPH_PX * 72
 # near-zero recognitions are glyph garbage no dictionary should bless.
 LEXICON_RESCUE_MIN_CONF = 3
 
+# Page-segmentation modes that DISCARD the page's embedded
+# (block, par, line) structure and re-segment geometrically (words
+# sharing a y row form a line, x-ordered) — the decoder behavior behind
+# the reference ladder's psm 4 (column-aware) and psm 12 (sparse) rungs
+# (util/ocr_pdf.py:1170-1183, api/util.py:3725). psm 6 (the default
+# everywhere outside the ladder) trusts the embedded segmentation.
+RESEGMENT_PSMS = frozenset({4, 12})
+
 # Skew detection for the fused decode stage (I3 inside the flagship
 # path): on an upright page every word of a physical line shares its y
 # anchor (small OCR jitter aside); under a rotation θ the words of one
@@ -227,8 +235,28 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
               conf_threshold: int = CONF_THRESHOLD,
               emit_qr: bool = False, dpi: int | None = None,
               deskew: bool = True,
-              lexicon: frozenset[str] | None = None) -> DataFrame:
+              lexicon: frozenset[str] | None = None,
+              psm: int = 6) -> DataFrame:
     """Fused decode→conf-gate→line-assembly in ONE mapInPandas stage.
+
+    ``psm`` (default 6) is the segmentation dimension (r5): Tesseract's
+    page-segmentation mode decides how words group into lines, and the
+    reference's retry ladder sweeps it (psm 6 → 4 → 12,
+    util/ocr_pdf.py:1170-1183, aprender_OCR api/util.py:3725). This
+    decoder maps the sweep onto its two honest behaviors: psm 6 TRUSTS
+    the page's embedded (block, par, line) segmentation; psm 4 and 12
+    (RESEGMENT_PSMS) DISCARD it and re-segment geometrically — words
+    sharing a y row form a line, ordered by x, lines numbered top-down
+    per page with block=par=0. The two agree wherever embedded ids are
+    consistent with geometry; on a scan whose segmentation is corrupted
+    (keyword and amount split across interleaved line ids) only the
+    re-segmenting rung reunites the line — which is exactly why the
+    reference retries under a different psm. The column-aware(4) vs
+    sparse(12) sub-distinction stays provenance: this decoder has no
+    further segmentation signal to differ on. Geometric groups share one
+    y by construction, so the deskew suspect rule (y-spread) never fires
+    under re-segmentation — deskew remains a psm-6 behavior, like the
+    reference, which deskews before the primary pass only.
 
     ``lexicon`` (default None = off) is the language dimension (r5): a
     word BELOW the confidence gate (but ≥ LEXICON_RESCUE_MIN_CONF, and
@@ -342,25 +370,40 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                 keepm[cand[hit]] = True
         wp = word_page[keepm]
         h = hdr[keepm]
-        # (page, block, par, line, word_idx) in one int64 key; page index
-        # (< Arrow batch size « 2^23) in the MSBs keeps batch order
-        key = ((wp << 40)
-               | (h["block"].astype(np.int64) << 32)
-               | (h["par"].astype(np.int64) << 24)
-               | (h["line"].astype(np.int64) << 16)
-               | h["word_idx"].astype(np.int64))
-        order = np.argsort(key, kind="stable")
-        k2 = key[order]
+        if psm in RESEGMENT_PSMS:
+            # geometric re-segmentation: line = (page, y row), words
+            # ordered by x (word_idx tiebreak); embedded ids discarded
+            gk = (wp << 32) | h["y"].astype(np.int64)
+            order = np.lexsort((h["word_idx"], h["x"], gk))
+            gkey_all = gk[order]
+        else:
+            # (page, block, par, line, word_idx) in one int64 key; page
+            # index (< Arrow batch size « 2^23) in MSBs keeps batch order
+            key = ((wp << 40)
+                   | (h["block"].astype(np.int64) << 32)
+                   | (h["par"].astype(np.int64) << 24)
+                   | (h["line"].astype(np.int64) << 16)
+                   | h["word_idx"].astype(np.int64))
+            order = np.argsort(key, kind="stable")
+            gkey_all = key[order] >> 16           # line id sans word_idx
         h2 = h[order]
-        if len(k2):
-            gkey = k2 >> 16                       # line id = key sans word_idx
-            bounds = np.nonzero(np.diff(gkey))[0] + 1
+        if len(gkey_all):
+            bounds = np.nonzero(np.diff(gkey_all))[0] + 1
             starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(k2)]))
+            ends = np.concatenate((bounds, [len(gkey_all)]))
             line_page = wp[order][starts]
-            blk = h2["block"][starts].astype(np.int32)
-            par = h2["par"][starts].astype(np.int32)
-            lin = h2["line"][starts].astype(np.int32)
+            if psm in RESEGMENT_PSMS:
+                blk = np.zeros(len(starts), np.int32)
+                par = np.zeros(len(starts), np.int32)
+                # per-page top-down line numbering (groups are already
+                # sorted by (page, y))
+                lin = (np.arange(len(starts))
+                       - np.searchsorted(line_page, line_page)).astype(
+                           np.int32)
+            else:
+                blk = h2["block"][starts].astype(np.int32)
+                par = h2["par"][starts].astype(np.int32)
+                lin = h2["line"][starts].astype(np.int32)
             lx = np.minimum.reduceat(h2["x"], starts).astype(np.int32)
             ly = np.minimum.reduceat(h2["y"], starts).astype(np.int32)
             if deskew:
@@ -478,10 +521,15 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                 if len(keep) == 0:
                     continue
                 h = hdr[keep]
-                key = ((h["block"].astype(np.int64) << 40)
-                       | (h["par"].astype(np.int64) << 20)
-                       | h["line"].astype(np.int64))
-                order = np.lexsort((h["word_idx"], key))
+                if psm in RESEGMENT_PSMS:
+                    # geometric re-segmentation (same rule as run_batch)
+                    key = h["y"].astype(np.int64)
+                    order = np.lexsort((h["word_idx"], h["x"], key))
+                else:
+                    key = ((h["block"].astype(np.int64) << 40)
+                           | (h["par"].astype(np.int64) << 20)
+                           | h["line"].astype(np.int64))
+                    order = np.lexsort((h["word_idx"], key))
                 h2 = h[order]
                 skey = key[order]
                 bounds = np.nonzero(np.diff(skey))[0] + 1
@@ -501,13 +549,22 @@ def ocr_lines(media_pages: DataFrame, passthrough: tuple[str, ...] = (),
                         got = _deskewed_anchors(h2, starts)
                         if got is not None:
                             lx, ly = got
-                heads.append(np.stack([
-                    h2["block"][starts].astype(np.int32),
-                    h2["par"][starts].astype(np.int32),
-                    h2["line"][starts].astype(np.int32),
-                    lx,
-                    ly,
-                ], axis=1))
+                if psm in RESEGMENT_PSMS:
+                    heads.append(np.stack([
+                        np.zeros(n_lines, np.int32),
+                        np.zeros(n_lines, np.int32),
+                        np.arange(n_lines, dtype=np.int32),
+                        lx,
+                        ly,
+                    ], axis=1))
+                else:
+                    heads.append(np.stack([
+                        h2["block"][starts].astype(np.int32),
+                        h2["par"][starts].astype(np.int32),
+                        h2["line"][starts].astype(np.int32),
+                        lx,
+                        ly,
+                    ], axis=1))
                 ts = [texts[keep[i]] for i in order]
                 txts.extend(" ".join(ts[s:e]) for s, e in zip(starts, ends))
                 refs.append(np.full(n_lines, media_ref, dtype=object))

@@ -74,11 +74,15 @@ def extract_with_retry(
 # word-confidence gate, ``dpi`` drives the resolution model
 # (ocr.MIN_GLYPH_PX), and ``lang`` selects the active LEXICON
 # (functions/languages.LANG_LEXICONS via the J4 registry) whose words can
-# be dictionary-rescued below the gate — so a later rung's lower gate,
-# higher render DPI, or different language pack recovers words the
-# earlier rung could not, exactly the reference's escalation. Only psm
-# remains provenance metadata (the exact decoder has no segmentation
-# dimension to vary).
+# be dictionary-rescued below the gate, and ``psm`` is the SEGMENTATION
+# mode (r5, ocr.RESEGMENT_PSMS): rung 1's psm 6 trusts the page's
+# embedded line structure; rungs 2/3 (psm 4/12) re-segment geometrically,
+# reuniting lines whose embedded segmentation is corrupted — so a later
+# rung's lower gate, higher render DPI, different language pack, or
+# re-segmenting psm recovers words/fields the earlier rung could not,
+# exactly the reference's escalation. Every ladder dimension is now a
+# real decoder behavior (the column-aware(4) vs sparse(12) sub-
+# distinction alone stays provenance).
 RETRY_LADDER: list[dict] = [
     # primary (api/util.py:8211-8212 --psm 6 default, 250 DPI render)
     {"pass_no": 1, "psm": 6, "lang": "por", "dpi": 250, "conf": 30},
@@ -130,7 +134,7 @@ def extract_ladder(documents: DataFrame, media_pages: DataFrame,
     for rung in ladder:
         ext = extract(documents, media_pages, repeat_k,
                       conf_threshold=rung["conf"], dpi=rung["dpi"],
-                      lang=rung.get("lang"))
+                      lang=rung.get("lang"), psm=rung.get("psm"))
         leg = _fields_for_pass(ext, rung, field_cols)
         passes = leg if passes is None else passes.unionByName(leg)
     merged = merge_retry_fields(passes, field_cols, must_fields=must_fields)
@@ -255,7 +259,7 @@ def cascade_ladder_committed(
                 break
         ext = extract(todo, media_pages, repeat_k,
                       conf_threshold=rung["conf"], dpi=rung["dpi"],
-                      lang=rung.get("lang"))
+                      lang=rung.get("lang"), psm=rung.get("psm"))
         snapshot_append(_fields_for_pass(ext, rung, field_cols), passes_table)
         appended_any = True
     merged = merge_retry_fields(

@@ -119,7 +119,8 @@ def media_markers(documents: DataFrame) -> DataFrame:
 def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
                         conf_threshold: int | None = None,
                         dpi: int | None = None,
-                        lang: str | None = None) -> DataFrame:
+                        lang: str | None = None,
+                        psm: int | None = None) -> DataFrame:
     """OCR path: referenced pages → word stream → conf gate → lines →
     normalized candidates with (doc_id, seg) resolved via the markers."""
     markers = media_markers(documents)
@@ -135,6 +136,8 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
     # lang → active lexicon (J4 registry resolution incl. safe-pack
     # fallback); None keeps the decode lexicon-free — flagship default
     from ..functions.languages import lexicon_for
+    if psm is not None:
+        kwargs["psm"] = psm
     lines = ocr_lines(pages, passthrough=("doc_id", "seg"), emit_qr=True,
                       dpi=dpi, lexicon=lexicon_for(lang), **kwargs)
     return lines.select(
@@ -150,18 +153,20 @@ def decoded_media_lines(documents: DataFrame, media_pages: DataFrame,
 
 def extract(documents: DataFrame, media_pages: DataFrame | None = None,
             repeat_k: int = 3, conf_threshold: int | None = None,
-            dpi: int | None = None, lang: str | None = None) -> DataFrame:
+            dpi: int | None = None, lang: str | None = None,
+            psm: int | None = None) -> DataFrame:
     """Full extraction → documents_extracted(doc_id, spans).
 
-    ``conf_threshold``/``dpi``/``lang`` parameterize the OCR decode for
-    retry-ladder rungs (plans/cascade.py); the defaults are the flagship
-    configuration (``lang=None`` = no lexicon rescue).
+    ``conf_threshold``/``dpi``/``lang``/``psm`` parameterize the OCR
+    decode for retry-ladder rungs (plans/cascade.py); the defaults are the
+    flagship configuration (``lang=None`` = no lexicon rescue, ``psm=None``
+    = trust embedded segmentation, i.e. psm 6).
     """
     cands = base_candidates(documents)
     if media_pages is not None:
         cands = cands.unionByName(
             decoded_media_lines(documents, media_pages, conf_threshold, dpi,
-                                lang)
+                                lang, psm)
             .select(*cands.columns)
         )
 

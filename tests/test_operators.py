@@ -555,3 +555,46 @@ def test_lexicon_rescue_in_gg01_fallback_path(spark):
            ocr_lines(pages, conf_threshold=30,
                      lexicon=lexicon_for("eng")).collect()]
     assert eng == ["CLEAN TAXABLE"]
+
+
+def test_psm_resegmentation_in_ocr_lines(spark):
+    """r5 psm dimension (ocr.RESEGMENT_PSMS): psm 6 trusts the embedded
+    (block, par, line) segmentation; psm 4/12 discard it and re-segment
+    geometrically by y row, x-ordered. On a page whose embedded line ids
+    are corrupted (the amount line split word-per-line) only the
+    re-segmenting mode reunites the line; on a consistent page the two
+    modes emit identical (text, x, y) lines."""
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.operators.ocr import ocr_lines
+    from angola_erp_ocr_spark.schema import MEDIA_PAGE
+
+    def page(corrupt):
+        words, x = [], 40
+        for k, w in enumerate(["TOTAL", "104,00", "AKZ"]):
+            line_id, widx = ((1, 3, 4)[k], 0) if corrupt else (1, k)
+            words.append(dict(x=x, y=24, w=8 * len(w), h=12, conf=80,
+                              block=0, par=0, line=line_id, word_idx=widx,
+                              text=w))
+            x += 8 * len(w) + 8
+        words.append(dict(x=40, y=10, w=48, h=12, conf=80, block=0,
+                          par=0, line=0, word_idx=0, text="HEADER"))
+        return bytearray(encode_page(words))
+
+    def lines(blob, psm):
+        pages = spark.createDataFrame([("m1", 0, blob, 150)], MEDIA_PAGE)
+        return sorted((r["text"], r["x"], r["y"]) for r in
+                      ocr_lines(pages, psm=psm).collect())
+
+    corrupted = page(corrupt=True)
+    # psm 6 trusts the corrupted ids: keyword and amount never co-line
+    assert lines(corrupted, 6) == sorted([
+        ("HEADER", 40, 10), ("TOTAL", 40, 24), ("104,00", 88, 24),
+        ("AKZ", 144, 24)])
+    # psm 4 re-segments by y: the amount line is reunited, x-ordered
+    assert lines(corrupted, 4) == sorted([
+        ("HEADER", 40, 10), ("TOTAL 104,00 AKZ", 40, 24)])
+    # psm 12 maps to the same re-segmentation behavior
+    assert lines(corrupted, 12) == lines(corrupted, 4)
+    # consistent page: both modes agree on (text, x, y)
+    consistent = page(corrupt=False)
+    assert lines(consistent, 6) == lines(consistent, 4)
