@@ -15,7 +15,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
+
+# "WholeStageCodegen (3)" → "WholeStageCodegen": see parse_stages
+_SCOPE_ID_RE = re.compile(r"\s*\(\d+\)")
 
 _ACC = {
     "internal.metrics.executorRunTime": "exec_run_ms",
@@ -73,9 +77,35 @@ def parse_stages(log_path: str, t_min_ms: int | None = None,
             acc = {a.get("Name"): a.get("Value")
                    for a in info.get("Accumulables", [])}
             m = {dst: int(acc.get(src, 0) or 0) for src, dst in _ACC.items()}
+            # plan-node fingerprint from the stage's RDD scopes (r5):
+            # the set of scope KINDS ("Exchange", "WholeStageCodegen",
+            # "Window", "MapInPandas", …) identifies WHAT the stage
+            # computes. Stage NAME is only the materialization callsite
+            # — in a driver that collects every query from one line, all
+            # stages share it and name-based pairing degrades to
+            # positional (the r5 official-run wart). Codegen ids are
+            # stripped (they renumber when AQE makes level-specific
+            # choices, e.g. broadcasting a join only at the wide level)
+            # and AQEShuffleRead is dropped (a runtime insertion, not a
+            # plan node) — both measured to break cross-level pairing on
+            # the r5 official run before normalization.
+            scopes = set()
+            for r in info.get("RDD Info", []):
+                sc = r.get("Scope")
+                if sc:
+                    try:
+                        nm = json.loads(sc).get("name")
+                    except (json.JSONDecodeError, AttributeError):
+                        nm = None
+                    if nm:
+                        nm = _SCOPE_ID_RE.sub("", nm).strip()
+                        if nm != "AQEShuffleRead":
+                            scopes.add(nm)
             out.append({
                 "stage_id": info.get("Stage ID"),
                 "name": (info.get("Stage Name") or "")[:80],
+                "plan_sig": "|".join(sorted(scopes)) or
+                            (info.get("Stage Name") or "")[:80],
                 "tasks": info.get("Number of Tasks"),
                 "submitted_ms": sub,
                 "wall_ms": comp - sub,
@@ -94,16 +124,22 @@ def parse_stages(log_path: str, t_min_ms: int | None = None,
 def stage_scaling_table(small: list[dict], big: list[dict],
                         factor: int = 4,
                         negligible_ms: int = 1000) -> list[dict[str, Any]]:
-    """Pair the two levels' stages by PLAN-NODE FINGERPRINT — (stage name,
-    occurrence index of that name in submission order) — not list position.
+    """Pair the two levels' stages by PLAN-NODE FINGERPRINT —
+    (``plan_sig``, occurrence index in submission order) — not list
+    position.
 
     Positional zip (the round-3 bug, VERDICT r3 task 2) silently misaligns
     when AQE re-plans differently under the two levels' different
     ``spark.sql.shuffle.partitions`` (extra/reordered stages), producing
     uninterpretable per-stage "efficiencies" (0.03 / 9.27-class rows in
-    BENCH/scaling_2v8.json r3). Name+occurrence is stable because a stage's
-    name is its materialization call site, and same-named stages execute in
-    plan order at both levels.
+    BENCH/scaling_2v8.json r3). ``plan_sig`` (r5) is the stage's
+    RDD-scope set — Exchange / WholeStageCodegen(n) / Window / python
+    nodes — which identifies WHAT the stage computes independently of
+    where it was collected from; stage NAME (the materialization
+    callsite, the pre-r5 key) is the fallback for rows parsed by older
+    code, but is degenerate when one driver line collects every query
+    (all stages share the callsite and name-pairing collapses to
+    positional — the r5 official-run wart, BENCH/ANALYSIS.md §Round-5).
 
     Rows where BOTH levels' wall is below ``negligible_ms`` are flagged
     ``negligible: true`` — fixed scheduler/JIT overhead where a wall-clock
@@ -114,8 +150,9 @@ def stage_scaling_table(small: list[dict], big: list[dict],
         seen: dict[str, int] = {}
         out = {}
         for s in stages:
-            k = (s["name"], seen.get(s["name"], 0))
-            seen[s["name"]] = k[1] + 1
+            sig = s.get("plan_sig") or s["name"]
+            k = (sig, seen.get(sig, 0))
+            seen[sig] = k[1] + 1
             out[k] = s
         return out
 
@@ -156,7 +193,7 @@ def stage_scaling_table(small: list[dict], big: list[dict],
         if a is None or b is None:
             side = a or b
             rows.append({
-                "idx": i, "name": k[0], "occurrence": k[1],
+                "idx": i, "name": k[0][:80], "occurrence": k[1],
                 "unpaired": "small" if a else "big",
                 "tasks_small": a["tasks"] if a else None,
                 "tasks_big": b["tasks"] if b else None,
@@ -175,7 +212,7 @@ def stage_scaling_table(small: list[dict], big: list[dict],
                       and b["wall_ms"] < negligible_ms)
         rows.append({
             "idx": i,
-            "name": a["name"],
+            "name": k[0][:80],
             "occurrence": k[1],
             "tasks_small": a["tasks"], "tasks_big": b["tasks"],
             "wall_ms_small": a["wall_ms"], "wall_ms_big": b["wall_ms"],

@@ -97,3 +97,41 @@ def test_order_is_per_run_plan_position_not_cross_run_clock():
     assert by_name["small_only"]["unpaired"] == "small"
     assert by_name["big_only_mid"]["unpaired"] == "big"
     assert by_name["a"]["efficiency"] == 1.0
+
+
+def test_pairing_by_plan_sig_survives_shared_callsite():
+    """r5 official-run wart: when every stage shares one materialization
+    callsite (a driver that collects each query from the same line),
+    name-based pairing degrades to positional and misaligns as soon as
+    AQE decomposes the two levels into different stage counts. plan_sig
+    (the RDD-scope set) pairs the stages by WHAT they compute."""
+    from angola_erp_ocr_spark.stagelog import stage_scaling_table
+
+    def st(sig, sub, wall, tasks=4, rd=0.0):
+        return dict(name="collect at run.py:74", plan_sig=sig,
+                    submitted_ms=sub, wall_ms=wall, tasks=tasks,
+                    exec_run_ms=wall * tasks, shuffle_read_mb=rd)
+
+    # small level: scan → ocr python stage → window tail
+    small = [st("Exchange|Scan parquet|WholeStageCodegen (1)", 0, 40_000),
+             st("ArrowEvalPython|Exchange|WholeStageCodegen (2)", 1, 100_000),
+             st("AQEShuffleRead|Window|WholeStageCodegen (3)", 2, 20_000,
+                rd=1000.0)]
+    # big level: AQE inserts an extra shuffle-read stage between them
+    big = [st("Exchange|Scan parquet|WholeStageCodegen (1)", 0, 11_000),
+           st("AQEShuffleRead|Exchange", 1, 500),
+           st("ArrowEvalPython|Exchange|WholeStageCodegen (2)", 2, 26_000),
+           st("AQEShuffleRead|Window|WholeStageCodegen (3)", 3, 6_000,
+              rd=1000.0)]
+    rows = stage_scaling_table(small, big)
+    by_sig = {r["name"]: r for r in rows}
+    # the three shared plan nodes pair 1:1 despite the shared callsite
+    assert round(by_sig["Exchange|Scan parquet|WholeStageCodegen (1)"]
+                 ["efficiency"], 3) == round(40_000 / (4 * 11_000), 3)
+    assert round(by_sig["ArrowEvalPython|Exchange|WholeStageCodegen (2)"]
+                 ["efficiency"], 3) == round(100_000 / (4 * 26_000), 3)
+    assert round(by_sig["AQEShuffleRead|Window|WholeStageCodegen (3)"]
+                 ["efficiency"], 3) == round(20_000 / (4 * 6_000), 3)
+    # the AQE-only stage surfaces as unpaired-big, no fake efficiency
+    extra = by_sig["AQEShuffleRead|Exchange"]
+    assert extra["unpaired"] == "big" and extra["efficiency"] is None
