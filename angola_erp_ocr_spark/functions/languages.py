@@ -56,7 +56,11 @@ def lexicon_for(spec: str | None) -> frozenset[str] | None:
     if spec is None:
         return None
     known = {lang for lang, _ in AVAILABLE_LANGS}
-    comps = [c for c in spec.split("+") if c]
+    # do NOT drop empty components: resolve_languages treats the ''
+    # in 'por+' as an unknown component and falls back, so the lexicon
+    # must fall back on the same specs or behavior and provenance would
+    # disagree for one input (r5 review finding)
+    comps = spec.split("+")
     if not comps or any(c not in known for c in comps):
         comps = [FALLBACK_LANG]
     out: frozenset[str] = frozenset()

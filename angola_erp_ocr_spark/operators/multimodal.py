@@ -117,15 +117,23 @@ def decode_images(df: DataFrame, ref_col: str = "media_ref",
     caller cannot persist fakes unlabeled (VERDICT r2; the real-decoder
     seam is reference util/ocr_pdf.py:377, api/util.py:8007-8051).
 
-    ``image_module``: injected PIL ``Image`` module surface. Defaults to
-    the real Pillow when importable; a caller (or contract test) may pass
-    any object with the same API. When a decoder is present the rows are
-    REAL: ``decoder='pil', is_synthetic=False`` via ``_pil_image_decode``.
-    The injected object is captured in the UDF closure (pickled by value
-    for test stubs, by reference for the real installed library), so the
-    decode runs on executors either way.
+    ``image_module``: injected PIL ``Image`` module surface. A caller
+    (or contract test) may pass any object with the same API; when a
+    decoder is present the rows are REAL: ``decoder='pil',
+    is_synthetic=False`` via ``_pil_image_decode``. The injected object
+    is captured in the UDF closure (pickled by value for test stubs, by
+    reference for the real installed library), so the decode runs on
+    executors either way.
+
+    The real Pillow is auto-selected ONLY in strict mode: ``strict=True``
+    means "decode for real or fail loudly". ``strict=False`` emits the
+    labeled deterministic fake even when Pillow happens to be importable
+    — callers of the fake path (the ``multimodal_decode`` oracle, the
+    bench corpus whose payloads are UTF-8 text, not images) must never
+    start routing non-image bytes into a real decoder because the
+    environment gained a library.
     """
-    if image_module is None and HAS_PIL:  # pragma: no cover - needs Pillow
+    if image_module is None and strict and HAS_PIL:  # pragma: no cover
         from PIL import Image as image_module
     if image_module is not None:
         decoder, synthetic = "pil", False
@@ -233,6 +241,14 @@ def extract_qr(blob: bytes, strict: bool = False,
         except (ValueError, struct.error):
             return None
         return extract_qr_at(blob, off)
+    # the two module surfaces are a PAIR: auto-select the installed
+    # libraries only when NEITHER is injected (injecting one stub while
+    # the other silently resolves to a real library would mix test and
+    # production surfaces); injecting exactly one is a caller error.
+    if (pyzbar_module is None) != (image_module is None):
+        raise ValueError(
+            "extract_qr: inject pyzbar_module and image_module together "
+            "(the decode consumes both surfaces)")
     if pyzbar_module is None and HAS_PYZBAR:  # pragma: no cover - real libs
         import io  # noqa: F401 (parity with the injected path)
         from PIL import Image as image_module

@@ -88,8 +88,17 @@ RETRY_LADDER: list[dict] = [
     {"pass_no": 1, "psm": 6, "lang": "por", "dpi": 250, "conf": 30},
     # column-aware retry (aprender_OCR api/util.py:3725), relaxed gate
     {"pass_no": 2, "psm": 4, "lang": "eng", "dpi": 270, "conf": 20},
-    # sparse-text last resort (ocr_pdf.py:1327-1352), max render DPI
+    # sparse-text rung (ocr_pdf.py:1327-1352), max render DPI
     {"pass_no": 3, "psm": 12, "lang": "por+eng", "dpi": 300, "conf": 10},
+    # psm-6 last resort at the floor gate: the reference sweep is a
+    # CROSS-PRODUCT (psm ∈ {1,4,6,12} × langs, SURVEY §2 R2), so later
+    # configs revisit psm 6 with relaxed settings. Behaviorally this is
+    # the rung that recovers SKEWED low-confidence scans: deskew runs
+    # only under trusted-segmentation mode (psm 6 — see ocr_lines), and
+    # the re-segmenting rungs 2/3 shred rotated lines by design (exact-y
+    # grouping), so without this rung a crooked low-conf page that fails
+    # rung 1's gate would be unrecoverable (r5 review finding).
+    {"pass_no": 4, "psm": 6, "lang": "por+eng", "dpi": 300, "conf": 10},
 ]
 
 LADDER_FIELD_COLS = ["total_amount", "currency", "invoice_date"]
@@ -232,31 +241,41 @@ def cascade_ladder_committed(
     between rungs resumes from the committed passes); the final
     keep-best merge — with ``<field>_pass`` provenance columns — commits
     to ``fields_ladder``, so the committed table records which rung won
-    every field. Re-running after completion only re-extracts never-
-    recovered docs — the committed-recovery anti-join applies before
-    EVERY rung, including rung 1 on a resume, and when no rung extracted
-    anything new the final ``fields_ladder`` append is skipped, so a
-    completed ladder re-run is a metadata-only no-op; duplicate
-    (doc, pass_no) rows merge to identical values (same configuration ⇒
-    same extraction), so the merge stays deterministic."""
+    every field. A doc is DONE for rung p iff it is already recovered
+    (must_ok) OR it already has a committed row at pass_no ≥ p — the
+    second leg makes unrecoverable docs terminal once every rung has
+    tried them (without it, a corpus with any hopeless doc re-extracts
+    it at all rungs on every re-run and the snapshot tables grow without
+    bound — r5 review finding). A completed ladder re-run is therefore a
+    metadata-only no-op (per-rung isEmpty checks, ≤ len(ladder) bounded
+    driver actions, and the final ``fields_ladder`` append is skipped);
+    a crash between rungs resumes exactly at the first rung whose pass
+    rows are missing. Duplicate (doc, pass_no) rows cannot be appended
+    under this rule, and would in any case merge to identical values
+    (same configuration ⇒ same extraction)."""
     from .snapshot import committed_snapshots, read_snapshots, snapshot_append
 
     passes_table = f"{out_dir}/fields_passes"
     todo = documents
     appended_any = False
     for rung in ladder:
-        # On a resume (any committed passes exist) the recovered-docs
+        # On a resume (any committed passes exist) the done-docs
         # anti-join applies before rung 1 too — otherwise every re-run
         # after completion re-extracts the FULL corpus at rung 1 and
         # appends a duplicate pass-1 snapshot (ADVICE r4).
         if rung["pass_no"] > 1 or committed_snapshots(passes_table):
             committed = read_snapshots(spark, passes_table)
-            done = merge_retry_fields(
+            recovered = merge_retry_fields(
                 committed, field_cols, must_fields=must_fields
             ).where(F.col("must_ok")).select("doc_id")
+            tried_this_rung = committed.where(
+                F.col("pass_no") >= rung["pass_no"]).select("doc_id")
+            done = recovered.unionByName(tried_this_rung)
             todo = documents.join(done, "doc_id", "left_anti")
             if todo.isEmpty():
-                break
+                # nothing new for THIS rung; later rungs may still have
+                # work (crash after rung p committed, before p+1 ran)
+                continue
         ext = extract(todo, media_pages, repeat_k,
                       conf_threshold=rung["conf"], dpi=rung["dpi"],
                       lang=rung.get("lang"), psm=rung.get("psm"))

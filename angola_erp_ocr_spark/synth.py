@@ -53,6 +53,28 @@ PATHO_PAGES = int(_os.environ.get("SPARK_GRAFT_PATHO_PAGES", "10000"))
 PATHO_START = int(_os.environ.get("SPARK_GRAFT_PATHO_START", "2000000"))
 PATHO_EVERY = int(_os.environ.get("SPARK_GRAFT_PATHO_EVERY", "1000000"))
 DPI_LADDER = [150, 200, 250]
+
+
+def patho_doc_ids(n_docs: int) -> list[str]:
+    """Doc ids of the pathological class in an ``n_docs`` corpus — the
+    ONE definition of the membership rule (``i >= PATHO_START and
+    i % PATHO_EVERY == 0``, mirroring the per-doc branch below). Tools
+    must use this instead of re-deriving ids as ``START + k*EVERY``,
+    which only agrees when START is a multiple of EVERY (r5 review
+    finding: the smoke env START=50000/EVERY=25000 happens to align, but
+    e.g. START=60000/EVERY=25000 would silently check the wrong docs)."""
+    return [f"doc{i:08d}" for i in range(0, n_docs, PATHO_EVERY)
+            if i >= PATHO_START]
+
+
+def scale_corpus_dir(n_docs: int) -> str:
+    """Canonical /tmp location of a materialized scale corpus; shared by
+    tools/scale10m.py (writer) and tools/resume10m.py (reader) so the
+    two can never disagree on which corpus a run used. The patho knobs
+    are embedded in the name: a smoke-mode corpus (env-overridden knobs)
+    can never be mistaken for the canonical one."""
+    tag = f"{n_docs}_p{PATHO_PAGES}s{PATHO_START}e{PATHO_EVERY}"
+    return f"/tmp/spark_graft_scale_corpus_g3_{tag}"
 # crooked-scan pages (rotated word boxes; the engine's in-pipeline deskew
 # must restore upright reading order). Angles on the I3 estimator's 0.25°
 # grid, both signs, within the ±6° search window.

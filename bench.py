@@ -90,17 +90,31 @@ PROBE_EXCLUDE_SLOWER_PCT = 0.15
 
 
 def host_probe() -> float:
-    """Fixed-work 8-core host-capability probe; returns wall seconds."""
+    """Fixed-work 8-core host-capability probe; returns wall seconds.
+
+    A failed probe child (no taskset binary, fewer than 8 CPUs, missing
+    numpy) must RAISE, never return: each child exiting instantly would
+    yield a near-zero wall, poisoning the run-median the official
+    exclusion rule compares against — the instrument would be silently
+    disabled exactly where it cannot work (r5 review finding)."""
     import subprocess
     t0 = time.monotonic()
     procs = [
         subprocess.Popen(
             ["taskset", "-c", str(core), sys.executable, "-c", _PROBE_KERNEL],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
         for core in range(8)
     ]
-    for p in procs:
-        p.wait()
+    fails = []
+    for core, p in enumerate(procs):
+        _, err = p.communicate()
+        if p.returncode != 0:
+            fails.append(f"core {core}: rc={p.returncode} "
+                         f"{err.decode(errors='replace')[-200:]}")
+    if fails:
+        raise RuntimeError("host_probe children failed — probe-based "
+                           "exclusion cannot run on this host: "
+                           + "; ".join(fails))
     return time.monotonic() - t0
 
 

@@ -598,3 +598,52 @@ def test_psm_resegmentation_in_ocr_lines(spark):
     # consistent page: both modes agree on (text, x, y)
     consistent = page(corrupt=False)
     assert lines(consistent, 6) == lines(consistent, 4)
+
+
+def test_ladder_rung4_recovers_skewed_low_conf_scan(spark):
+    """r5 review finding: the re-segmenting rungs (psm 4/12) group by
+    exact y and run no deskew, so a ROTATED low-confidence page that
+    fails rung 1's gate shreds at rungs 2/3 — pre-psm it recovered at
+    the relaxed gates. Rung 4 (psm 6 + deskew at the floor gate, the
+    reference's cross-product revisiting psm 6) restores that recovery;
+    a 3-rung ladder leaves the doc unrecoverable."""
+    import math
+
+    from angola_erp_ocr_spark.glyph import encode_page
+    from angola_erp_ocr_spark.plans.cascade import (RETRY_LADDER,
+                                                    extract_ladder)
+    from angola_erp_ocr_spark.schema import DOCUMENTS_RAW, MEDIA_PAGE
+
+    t = math.radians(3.0)
+    c, s = math.cos(t), math.sin(t)
+    words, x = [], 40
+    # conf 25: fails rung 1 (gate 30); numbers are never lexicon-rescued
+    for k, w in enumerate(["TOTAL", "104,00", "AKZ"]):
+        wx = int(round(c * x - s * 24)) + 64
+        wy = int(round(s * x + c * 24)) + 64
+        words.append(dict(x=wx, y=wy, w=8 * len(w), h=12, conf=25,
+                          block=0, par=0, line=0, word_idx=k, text=w))
+        x += 8 * len(w) + 8
+    # second line so the skew estimator has structure to pool
+    x = 40
+    for k, w in enumerate(["SEGUNDA", "LINHA", "EXTRA"]):
+        wx = int(round(c * x - s * 60)) + 64
+        wy = int(round(s * x + c * 60)) + 64
+        words.append(dict(x=wx, y=wy, w=8 * len(w), h=12, conf=25,
+                          block=0, par=0, line=1, word_idx=k, text=w))
+        x += 8 * len(w) + 8
+
+    raw = spark.createDataFrame(
+        [("d0", None, [("media", "", "page://skew/0", 0)])],
+        DOCUMENTS_RAW).select("doc_id", "spans")
+    media = spark.createDataFrame(
+        [("page://skew/0", 0, bytearray(encode_page(words)), 150)],
+        MEDIA_PAGE)
+
+    got = extract_ladder(raw, media).collect()[0]
+    assert got["total_amount"] == "104,00"
+    assert got["total_amount_pass"] == 4 and got["must_ok"]
+
+    three_rungs = [r for r in RETRY_LADDER if r["pass_no"] <= 3]
+    old = extract_ladder(raw, media, ladder=three_rungs).collect()[0]
+    assert old["total_amount"] is None and not old["must_ok"]

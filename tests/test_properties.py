@@ -410,3 +410,22 @@ def test_batch_fallback_does_not_catch_unicode_errors():
 
     assert issubclass(NotBatchDecodable, ValueError)
     assert not issubclass(UnicodeDecodeError, NotBatchDecodable)
+
+
+def test_patho_doc_ids_matches_the_per_doc_rule(monkeypatch):
+    """synth.patho_doc_ids is the ONE definition of pathological-class
+    membership; it must agree with the per-doc branch in _make_doc
+    (``i >= PATHO_START and i % PATHO_EVERY == 0``) even when START is
+    NOT a multiple of EVERY — the exact case the old tools-side
+    ``START + k*EVERY`` derivation got wrong (r5 review finding)."""
+    from angola_erp_ocr_spark import synth
+
+    for start, every, n in [(2_000_000, 1_000_000, 10_000_000),
+                            (50_000, 25_000, 100_000),
+                            (60_000, 25_000, 200_000),   # misaligned START
+                            (7, 3, 20), (5, 5, 5), (0, 4, 13)]:
+        monkeypatch.setattr(synth, "PATHO_START", start)
+        monkeypatch.setattr(synth, "PATHO_EVERY", every)
+        want = [f"doc{i:08d}" for i in range(n)
+                if i >= start and i % every == 0]
+        assert synth.patho_doc_ids(n) == want, (start, every, n)

@@ -156,7 +156,7 @@ def test_cascade_ladder_committed_runs_real_rungs(spark, tmp_path):
 
     # early exit: rung k's committed pass contains only still-failing docs
     snaps = committed_snapshots(f"{out}/fields_passes")
-    assert len(snaps) == 3
+    assert len(snaps) == 4
     by_pass = {}
     for s in snaps:
         pdf = spark.read.parquet(s["data_dir"]).toPandas()
@@ -164,10 +164,23 @@ def test_cascade_ladder_committed_runs_real_rungs(spark, tmp_path):
     assert by_pass[1] >= {"d0", "d4"}              # rung 1 reads clean docs
     assert by_pass[2].isdisjoint({"d0", "d4"})     # recovered docs excluded
     assert by_pass[3].isdisjoint({"d0", "d4", "d1", "d5"})
+    assert by_pass[4] == {"d3", "d7"}              # only the hopeless reach 4
 
     # the committed fields_ladder table is the returned view
     tbl = read_snapshots(spark, f"{out}/fields_ladder")
     assert tbl.count() == 8
+
+    # re-running a completed ladder whose corpus contains UNRECOVERABLE
+    # docs must also be a no-op (r5 review finding: a must_ok-only done
+    # set re-extracted hopeless docs at every rung on every re-run,
+    # growing both snapshot tables without bound) — a doc is terminal
+    # once every rung has a committed pass row for it
+    n_ladder = len(committed_snapshots(f"{out}/fields_ladder"))
+    again = {r["doc_id"]: r for r in
+             cascade_ladder_committed(spark, raw, pages, out).collect()}
+    assert len(committed_snapshots(f"{out}/fields_passes")) == 4
+    assert len(committed_snapshots(f"{out}/fields_ladder")) == n_ladder
+    assert not again["d3"]["must_ok"] and not again["d7"]["must_ok"]
     assert "total_amount_pass" in tbl.columns and "must_ok" in tbl.columns
 
 

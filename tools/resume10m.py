@@ -47,11 +47,10 @@ CHUNKS = int(os.environ.get("RESUME10M_CHUNKS", "4"))
 
 
 def _corpus_dir(n_docs: int) -> str:
-    from angola_erp_ocr_spark import synth
-    patho = dict(pages=synth.PATHO_PAGES, start=synth.PATHO_START,
-                 every=synth.PATHO_EVERY)
-    tag = f"{n_docs}_p{patho['pages']}s{patho['start']}e{patho['every']}"
-    return f"/tmp/spark_graft_scale_corpus_g3_{tag}"
+    # shared definition — the reader can never disagree with the writer
+    # (tools/scale10m.py) on which corpus a run used
+    from angola_erp_ocr_spark.synth import scale_corpus_dir
+    return scale_corpus_dir(n_docs)
 
 
 def main() -> None:

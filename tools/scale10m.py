@@ -98,6 +98,14 @@ PROBE_REF_WALL = 2.94    # r4 run-2 median probe wall (BENCH/scaling_run2.json)
 PROBE_CLEAN_PCT = 0.15   # slower-only, same rule as bench.py --scaling
 
 
+def _ratio(mx, md):
+    """max/median, or None when the median is 0 (tiny smoke corpora can
+    leave AQE-coalesced partitions with 0-ms walls or 0 spans; a
+    ZeroDivisionError here would kill the run AFTER the expensive
+    measured pass — r5 review finding). A None ratio fails its gate."""
+    return round(mx / md, 3) if md else None
+
+
 def _lineage_stats(rows: list[dict], cpus: int) -> dict:
     """Balance + wave decomposition from write_with_lineage partition rows."""
     walls = sorted(r["wall_ms"] for r in rows)
@@ -116,14 +124,14 @@ def _lineage_stats(rows: list[dict], cpus: int) -> dict:
         "partitions": len(rows),
         "wall_max_ms": walls[-1],
         "wall_median_ms": med(walls),
-        "wall_max_over_median": round(walls[-1] / med(walls), 3),
-        "docs_max_over_median": round(docs[-1] / med(docs), 3),
-        "spans_max_over_median": round(spans[-1] / med(spans), 3),
+        "wall_max_over_median": _ratio(walls[-1], med(walls)),
+        "docs_max_over_median": _ratio(docs[-1], med(docs)),
+        "spans_max_over_median": _ratio(spans[-1], med(spans)),
         "wall_spans_correlation": round(corr, 3) if corr is not None else None,
         "wave1_wall_median_ms": med(wave1) if wave1 else None,
         "later_waves_wall_median_ms": med(later) if later else None,
         "later_waves_wall_max_over_median":
-            round(max(later) / med(later), 3) if later else None,
+            _ratio(max(later), med(later)) if later else None,
     }
 
 
@@ -156,10 +164,10 @@ def main() -> None:
 
     patho = dict(pages=synth.PATHO_PAGES, start=synth.PATHO_START,
                  every=synth.PATHO_EVERY)
-    n_patho = max(0, (n_docs - 1 - patho["start"]) // patho["every"] + 1) \
-        if n_docs > patho["start"] else 0
-    tag = f"{n_docs}_p{patho['pages']}s{patho['start']}e{patho['every']}"
-    corpus = f"/tmp/spark_graft_scale_corpus_g3_{tag}"
+    patho_ids = synth.patho_doc_ids(n_docs)
+    n_patho = len(patho_ids)
+    corpus = synth.scale_corpus_dir(n_docs)
+    tag = corpus.rsplit("_corpus_g3_", 1)[1]
     marker = os.path.join(corpus, "_DONE")
     t_gen = 0.0
     if not os.path.exists(marker):
@@ -216,10 +224,9 @@ def main() -> None:
         .collect()[0]
     )
     span_rate = (row["ok"] or 0) / max(row["n"], 1)
-    # the pathological docs specifically
+    # the pathological docs specifically (ids from synth.patho_doc_ids,
+    # the one definition of the membership rule)
     if n_patho:
-        patho_ids = [f"doc{patho['start'] + k * patho['every']:08d}"
-                     for k in range(n_patho)]
         prow = (
             written.alias("o").join(golden.alias("g"), "doc_id")
             .where(F.col("doc_id").isin(patho_ids))
@@ -261,9 +268,12 @@ def main() -> None:
             <= PROBE_REF_WALL * (1 + PROBE_CLEAN_PCT)),
         "lineage": lin,
         "cold_pass": cold,
-        "skew_gate_wall_1_5": bool(lin["wall_max_over_median"] <= SKEW_GATE),
+        "skew_gate_wall_1_5": bool(
+            lin["wall_max_over_median"] is not None
+            and lin["wall_max_over_median"] <= SKEW_GATE),
         "skew_gate_spans_1_5": bool(
-            lin["spans_max_over_median"] <= DATA_SPANS_GATE),
+            lin["spans_max_over_median"] is not None
+            and lin["spans_max_over_median"] <= DATA_SPANS_GATE),
         "span_equality_rate": span_rate,
         "span_gate_1_0": span_rate >= SPAN_GATE,
         "pathological_docs_check": patho_check,
