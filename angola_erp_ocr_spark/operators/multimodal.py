@@ -136,7 +136,11 @@ def decode_images(df: DataFrame, ref_col: str = "media_ref",
     if image_module is None and strict and HAS_PIL:  # pragma: no cover
         from PIL import Image as image_module
     if image_module is not None:
-        decoder, synthetic = "pil", False
+        # Provenance names the actual decoder: an injected module may
+        # declare DECODER_NAME (the built-in pure-numpy PNG codec,
+        # functions/png.py, declares 'numpy-png'); default 'pil'.
+        decoder = getattr(image_module, "DECODER_NAME", "pil")
+        synthetic = False
     else:
         decoder, synthetic = "fake-sha256", True
 
