@@ -1814,6 +1814,11 @@ _DEPRIORITIZED = [
     # lowest-value gap — added for completeness, deliberately below the
     # window (locally oracle-checked like the rest of the sunk set)
     "j4_language_registry",
+    # qr_real_roundtrip: the real-QR-decoder certification (r5 late
+    # addition, functions/qr.py). I10 itself stays in-window via
+    # qr_decode; this query proves the STRICT detector path and sits
+    # below the window to leave the driver's 50 stable
+    "qr_real_roundtrip",
 ]
 # The driver validates list(queries())[:50]. The window composition is
 # committed as DRIVER_WINDOW.md (regenerate: python tools/write_window.py)
@@ -2616,6 +2621,66 @@ FROM documents
 
 _QUERIES["png_roundtrip"] = q_png_roundtrip
 _ORACLES["png_roundtrip"] = SQL_PNG_ROUNDTRIP
+
+
+def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL QR detect/decode, executed and oracle-verified in this
+    sandbox (I10's last gated leg; reference api/util.py:8007-8051 reads
+    the AGT invoice QR via pyzbar over a PIL image). Per document a
+    payload string is derived JVM-side ('QR-' || doc_id || '-' ||
+    md5(text)[:16]), encoded to a spec-conformant QR symbol
+    (functions/qr.py: byte mode, RS ECC over GF(256)) with per-doc
+    varied mask (doc_id%8), ECC level (L/M), module scale and 90-degree
+    rotation, rendered to PNG, then decoded through the STRICT
+    ``decode_qr_media`` seam — finder-pattern detection, grid sampling,
+    format-info BCH, de-masking, Reed-Solomon correction — using the
+    same injected-module path real pyzbar takes. The decoded text is
+    returned; it equals the oracle's recomputed payload iff the whole
+    real detect->decode chain is exact. One stateless Arrow stage, no
+    shuffle — the 100-TB shape."""
+    from angola_erp_ocr_spark.functions.png import PNG_IMAGE_MODULE
+    from angola_erp_ocr_spark.functions.qr import (QR_DETECTOR_MODULE,
+                                                   render_qr_png)
+    from angola_erp_ocr_spark.operators.multimodal import decode_qr_media
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("QR-"), F.col("doc_id").cast("string"), F.lit("-"),
+                 F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 16)
+                 ).alias("payload_text"))
+
+    def to_qr_png(batches):
+        import pandas as pd
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["payload_text"]):
+                i = int(doc_id)
+                refs.append(f"img://{i}")
+                blobs.append(render_qr_png(
+                    text.encode("utf-8"), ecl="LM"[i % 2], mask=i % 8,
+                    scale=2 + i % 2, border=4, rotate=i % 4))
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+
+    encoded = src.mapInPandas(
+        to_qr_png, schema="media_ref string, payload binary")
+    decoded = decode_qr_media(encoded, strict=True,
+                              pyzbar_module=QR_DETECTOR_MODULE,
+                              image_module=PNG_IMAGE_MODULE)
+    return decoded.select(
+        F.element_at(F.split("media_ref", "://"), 2)
+         .cast("long").alias("doc_id"),
+        F.col("qr_text"))
+
+
+SQL_QR_REAL_ROUNDTRIP = """
+SELECT doc_id,
+       'QR-' || CAST(doc_id AS VARCHAR) || '-'
+             || substr(md5(text), 1, 16) AS qr_text
+FROM documents
+"""
+
+_QUERIES["qr_real_roundtrip"] = q_qr_real_roundtrip
+_ORACLES["qr_real_roundtrip"] = SQL_QR_REAL_ROUNDTRIP
 
 
 def q_k4_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:

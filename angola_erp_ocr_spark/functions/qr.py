@@ -1,0 +1,603 @@
+"""Pure-numpy QR encoder/decoder + a pyzbar-shaped module surface.
+
+The reference decodes the AGT tax-portal QR printed on invoices through
+pyzbar over a PIL page image (api/util.py:8007-8051; cv2 fallback
+8083-8086) and follows the decoded URL. This container ships neither
+pyzbar nor OpenCV, so until now ``operators.multimodal.extract_qr``'s
+real-detector path was exercised only through injected API stubs. This
+module removes that gap the same way ``functions/png.py`` did for image
+decode: the QR symbology (ISO/IEC 18004) is implementable from public
+spec with nothing beyond numpy, so the strict path can run a REAL
+detect → sample → de-mask → Reed-Solomon-correct → parse decode on
+executors.
+
+Scope (declared, loudly enforced — never a silent mis-decode):
+
+- Versions 1-3 (21/25/29 modules), byte mode, the single-block
+  version x ECC-level combos (V1/V2 at L/M/Q/H, V3 at L/M); multi-block
+  interleaving (V3-Q/H, V4+) raises ``ValueError``.
+- All 8 mask patterns, both format-info copies, BCH(15,5) format
+  correction up to its design distance (<=3 bit errors).
+- Full Reed-Solomon error correction over GF(256) (poly 0x11d):
+  Peterson-Gorenstein-Zierler locator + Chien root search + a
+  Vandermonde solve for magnitudes, verified by re-checking every
+  syndrome — up to floor(ecc/2) wrong codewords are corrected, more
+  fails loudly.
+- Detection handles clean renders/scans: axis-parallel module grids at
+  any 90-degree rotation, any integer module scale, any quiet-zone
+  margin, light-on-dark or inverted brightness (threshold is
+  (min+max)/2). Perspective warp / arbitrary tilt is out of scope —
+  a real camera pipeline would rectify first (the reference's inputs
+  are rendered PDF pages, also rectified).
+
+Spark posture: QR decode is a stateless per-row kernel inside one
+Arrow-batched ``mapInPandas`` stage (``operators.multimodal.
+decode_qr_media``) — embarrassingly parallel, no shuffle, so at 100 TB
+it scales with executor count exactly like the OCR decode stage.
+
+``QR_DETECTOR_MODULE`` exposes the pyzbar API subset the seam consumes
+(``decode(pil_image) -> [Decoded(data=...)]``), so
+``extract_qr(strict=True, pyzbar_module=QR_DETECTOR_MODULE,
+image_module=PNG_IMAGE_MODULE)`` is a real end-to-end decode in this
+sandbox — the identical injected-module code path real pyzbar takes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# GF(256), poly x^8 + x^4 + x^3 + x^2 + 1 (0x11d) — the QR field
+# ---------------------------------------------------------------------------
+
+_EXP = np.zeros(512, dtype=np.int32)
+_LOG = np.zeros(256, dtype=np.int32)
+_x = 1
+for _i in range(255):
+    _EXP[_i] = _x
+    _LOG[_x] = _i
+    _x <<= 1
+    if _x & 0x100:
+        _x ^= 0x11D
+_EXP[255:510] = _EXP[:255]
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return int(_EXP[_LOG[a] + _LOG[b]])
+
+
+def _ginv(a: int) -> int:
+    if a == 0:
+        raise ZeroDivisionError("GF(256) inverse of 0")
+    return int(_EXP[255 - _LOG[a]])
+
+
+def _poly_eval(p: list[int], x: int) -> int:
+    """Evaluate polynomial (MSB-first coefficient list) at x (Horner)."""
+    y = p[0]
+    for c in p[1:]:
+        y = _gmul(y, x) ^ c
+    return y
+
+
+def rs_encode(data: list[int], n_ecc: int) -> list[int]:
+    """Reed-Solomon ECC codewords for ``data`` (generator roots
+    alpha^0..alpha^{n_ecc-1}, the QR convention)."""
+    gen = [1]
+    for i in range(n_ecc):
+        # gen *= (x - alpha^i); minus == plus in GF(2^8)
+        nxt = [0] * (len(gen) + 1)
+        for j, g in enumerate(gen):
+            nxt[j] ^= _gmul(g, int(_EXP[i]))
+            nxt[j + 1] ^= g
+        gen = nxt
+    gen = gen[::-1]  # MSB-first
+    rem = list(data) + [0] * n_ecc
+    for i in range(len(data)):
+        f = rem[i]
+        if f:
+            for j in range(1, len(gen)):
+                rem[i + j] ^= _gmul(gen[j], f)
+    return rem[len(data):]
+
+
+def _gf_solve(a: list[list[int]], b: list[int]) -> list[int] | None:
+    """Gaussian elimination over GF(256); None when singular."""
+    n = len(b)
+    m = [row[:] + [b[i]] for i, row in enumerate(a)]
+    for col in range(n):
+        piv = next((r for r in range(col, n) if m[r][col]), None)
+        if piv is None:
+            return None
+        m[col], m[piv] = m[piv], m[col]
+        inv = _ginv(m[col][col])
+        m[col] = [_gmul(v, inv) for v in m[col]]
+        for r in range(n):
+            if r != col and m[r][col]:
+                f = m[r][col]
+                m[r] = [v ^ _gmul(f, m[col][c]) for c, v in enumerate(m[r])]
+    return [m[r][n] for r in range(n)]
+
+
+def rs_correct(codeword: list[int], n_ecc: int) -> list[int]:
+    """Correct up to floor(n_ecc/2) codeword errors in place-safe copy;
+    raises ValueError when uncorrectable. PGZ locator + Chien search +
+    Vandermonde magnitude solve, then every syndrome re-verified — a
+    wrong 'correction' can never be returned silently."""
+    n = len(codeword)
+    synd = [_poly_eval(codeword, int(_EXP[i])) for i in range(n_ecc)]
+    if not any(synd):
+        return list(codeword)
+    # PGZ: largest nu with non-singular syndrome matrix
+    for nu in range(n_ecc // 2, 0, -1):
+        a = [[synd[r + c] for c in range(nu)] for r in range(nu)]
+        b = [synd[r + nu] for r in range(nu)]
+        mu = _gf_solve(a, b)
+        if mu is not None:
+            break
+    else:
+        raise ValueError("RS: syndrome system singular at every order")
+    # locator Lambda(x) = 1 + l1 x + ... + l_nu x^nu, l_k = mu[nu-k]
+    lam = [1] + [mu[nu - k] for k in range(1, nu + 1)]
+    # Chien: roots alpha^k give error positions X = alpha^{-k} = alpha^{p},
+    # poly position p maps to codeword index n-1-p
+    positions = []
+    for k in range(255):
+        if _poly_eval(lam[::-1], int(_EXP[k])) == 0:
+            p = (255 - k) % 255
+            idx = n - 1 - p
+            if 0 <= idx < n:
+                positions.append(idx)
+    if len(positions) != nu:
+        raise ValueError("RS: error locator roots != error count")
+    # magnitudes: S_j = sum e_i * X_i^j  (Vandermonde in X_i)
+    xs = [int(_EXP[(n - 1 - idx) % 255]) for idx in positions]
+    a = [[1] * nu]
+    for _ in range(1, nu):
+        a.append([_gmul(a[-1][i], xs[i]) for i in range(nu)])
+    mags = _gf_solve(a, synd[:nu])
+    if mags is None:
+        raise ValueError("RS: magnitude system singular")
+    out = list(codeword)
+    for idx, e in zip(positions, mags):
+        out[idx] ^= e
+    if any(_poly_eval(out, int(_EXP[i])) for i in range(n_ecc)):
+        raise ValueError("RS: correction failed syndrome re-check")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# QR tables (ISO/IEC 18004) — single-block version x ECC combos only
+# ---------------------------------------------------------------------------
+
+_TOTAL_CW = {1: 26, 2: 44, 3: 70}
+_ECC_CW = {(1, "L"): 7, (1, "M"): 10, (1, "Q"): 13, (1, "H"): 17,
+           (2, "L"): 10, (2, "M"): 16, (2, "Q"): 22, (2, "H"): 28,
+           (3, "L"): 15, (3, "M"): 26}
+_ECL_BITS = {"L": 1, "M": 0, "Q": 3, "H": 2}
+_BITS_ECL = {v: k for k, v in _ECL_BITS.items()}
+
+
+def _size(version: int) -> int:
+    return 17 + 4 * version
+
+
+def data_capacity(version: int, ecl: str) -> int:
+    """Max byte-mode payload length (mode + 8-bit count overhead)."""
+    return _TOTAL_CW[version] - _ECC_CW[(version, ecl)] - 2
+
+
+def _function_map(size: int) -> np.ndarray:
+    """True where a module is function/format-reserved (data zigzag
+    skips it). Finder+separator+format corners, timing, alignment."""
+    fm = np.zeros((size, size), dtype=bool)
+    fm[0:9, 0:9] = True
+    fm[0:9, size - 8:] = True
+    fm[size - 8:, 0:9] = True
+    fm[6, :] = True
+    fm[:, 6] = True
+    if size >= 25:  # V2+: one alignment pattern at (size-7, size-7)
+        a = size - 7
+        fm[a - 2:a + 3, a - 2:a + 3] = True
+    return fm
+
+
+def _base_matrix(size: int) -> np.ndarray:
+    """Function-pattern colors (True = dark): finders, timing, alignment,
+    dark module. Format bits are written separately."""
+    m = np.zeros((size, size), dtype=bool)
+
+    def finder(r0: int, c0: int) -> None:
+        for dr in range(-4, 5):
+            for dc in range(-4, 5):
+                r, c = r0 + dr, c0 + dc
+                if 0 <= r < size and 0 <= c < size:
+                    m[r, c] = max(abs(dr), abs(dc)) not in (2, 4)
+
+    finder(3, 3)
+    finder(3, size - 4)
+    finder(size - 4, 3)
+    for i in range(8, size - 8):
+        m[6, i] = i % 2 == 0
+        m[i, 6] = i % 2 == 0
+    if size >= 25:
+        a = size - 7
+        for dr in range(-2, 3):
+            for dc in range(-2, 3):
+                m[a + dr, a + dc] = max(abs(dr), abs(dc)) != 1
+    m[size - 8, 8] = True  # dark module
+    return m
+
+
+def _format_bits(ecl: str, mask: int) -> int:
+    data = (_ECL_BITS[ecl] << 3) | mask
+    rem = data
+    for _ in range(10):
+        rem = (rem << 1) ^ ((rem >> 9) * 0x537)
+    return ((data << 10) | rem) ^ 0x5412
+
+
+def _format_coords(size: int) -> tuple[list, list]:
+    """(row, col) of format bit i (LSB-indexed) for both copies."""
+    c1 = ([(i, 8) for i in range(6)] + [(7, 8), (8, 8), (8, 7)]
+          + [(8, 14 - i) for i in range(9, 15)])
+    c2 = ([(8, size - 1 - i) for i in range(8)]
+          + [(size - 15 + i, 8) for i in range(8, 15)])
+    return c1, c2
+
+
+def _data_coords(size: int, fm: np.ndarray) -> list[tuple[int, int]]:
+    """Zigzag module order (two-column strips bottom-up/top-down,
+    skipping timing column 6 and all function modules)."""
+    coords = []
+    right = size - 1
+    while right >= 1:
+        if right == 6:
+            right = 5
+        for vert in range(size):
+            for j in range(2):
+                col = right - j
+                upward = ((right + 1) & 2) == 0
+                row = size - 1 - vert if upward else vert
+                if not fm[row, col]:
+                    coords.append((row, col))
+        right -= 2
+    return coords
+
+
+_MASKS = [
+    lambda r, c: (r + c) % 2 == 0,
+    lambda r, c: r % 2 == 0,
+    lambda r, c: c % 3 == 0,
+    lambda r, c: (r + c) % 3 == 0,
+    lambda r, c: (r // 2 + c // 3) % 2 == 0,
+    lambda r, c: (r * c) % 2 + (r * c) % 3 == 0,
+    lambda r, c: ((r * c) % 2 + (r * c) % 3) % 2 == 0,
+    lambda r, c: ((r + c) % 2 + (r * c) % 3) % 2 == 0,
+]
+
+
+# ---------------------------------------------------------------------------
+# Encode: payload -> module matrix -> PNG render
+# ---------------------------------------------------------------------------
+
+def encode_qr_matrix(payload: bytes, version: int | None = None,
+                     ecl: str = "L", mask: int = 0) -> np.ndarray:
+    """Byte-mode QR module matrix (bool, True = dark)."""
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
+    if not 0 <= mask <= 7:
+        raise ValueError("mask must be 0..7")
+    if version is None:
+        version = next((v for v in (1, 2, 3) if (v, ecl) in _ECC_CW
+                        and len(payload) <= data_capacity(v, ecl)), None)
+        if version is None:
+            raise ValueError(f"payload too long for supported versions "
+                             f"at ECC {ecl}")
+    if (version, ecl) not in _ECC_CW:
+        raise ValueError(f"unsupported (multi-block) combo: "
+                         f"V{version}-{ecl}")
+    n_ecc = _ECC_CW[(version, ecl)]
+    n_data = _TOTAL_CW[version] - n_ecc
+    if len(payload) > n_data - 2:
+        raise ValueError(f"payload {len(payload)}B > V{version}-{ecl} "
+                         f"capacity {n_data - 2}B")
+    # bitstream: mode 0100, 8-bit count, data, terminator, pad bytes
+    bits = [0, 1, 0, 0]
+    bits += [(len(payload) >> i) & 1 for i in range(7, -1, -1)]
+    for b in payload:
+        bits += [(b >> i) & 1 for i in range(7, -1, -1)]
+    bits += [0] * min(4, n_data * 8 - len(bits))
+    bits += [0] * (-len(bits) % 8)
+    data = [sum(bit << (7 - i) for i, bit in enumerate(bits[p:p + 8]))
+            for p in range(0, len(bits), 8)]
+    pad = (0xEC, 0x11)
+    while len(data) < n_data:
+        data.append(pad[(len(data) - len(bits) // 8) % 2])
+    codewords = data + rs_encode(data, n_ecc)
+
+    size = _size(version)
+    fm = _function_map(size)
+    m = _base_matrix(size)
+    allbits = [(cw >> (7 - i)) & 1 for cw in codewords for i in range(8)]
+    for i, (r, c) in enumerate(_data_coords(size, fm)):
+        v = allbits[i] if i < len(allbits) else 0  # remainder bits light
+        m[r, c] = bool(v) ^ _MASKS[mask](r, c)
+    fmt = _format_bits(ecl, mask)
+    for coords in _format_coords(size):
+        for i, (r, c) in enumerate(coords):
+            m[r, c] = bool((fmt >> i) & 1)
+    return m
+
+
+def render_qr_png(payload: bytes | str, version: int | None = None,
+                  ecl: str = "L", mask: int = 0, scale: int = 3,
+                  border: int = 4, rotate: int = 0) -> bytes:
+    """Encode payload and render the symbol as a grayscale PNG
+    (functions/png.py), ``scale`` px per module, ``border`` quiet-zone
+    modules, rotated by ``rotate`` x 90 degrees."""
+    from .png import encode_png
+
+    m = encode_qr_matrix(payload, version=version, ecl=ecl, mask=mask)
+    img = np.where(m, 0, 255).astype(np.uint8)
+    img = np.kron(img, np.ones((scale, scale), dtype=np.uint8))
+    img = np.pad(img, border * scale, constant_values=255)
+    return encode_png(np.rot90(img, k=rotate % 4))
+
+
+# ---------------------------------------------------------------------------
+# Decode: grayscale pixels -> finder detection -> sample -> payload
+# ---------------------------------------------------------------------------
+
+def _runs(line: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run-length encode a bool line -> (start, length, value) arrays."""
+    idx = np.flatnonzero(np.diff(line.astype(np.int8))) + 1
+    bounds = np.concatenate(([0], idx, [line.shape[0]]))
+    return bounds[:-1], np.diff(bounds), line[bounds[:-1]]
+
+
+def _ratio_ok(lens: np.ndarray) -> float | None:
+    """1:1:3:1:1 check; returns the module estimate or None."""
+    m = lens.sum() / 7.0
+    if m < 0.9:
+        return None
+    tol = max(1.0, m * 0.5)
+    if (abs(lens[0] - m) <= tol and abs(lens[1] - m) <= tol
+            and abs(lens[2] - 3 * m) <= 3 * tol
+            and abs(lens[3] - m) <= tol and abs(lens[4] - m) <= tol):
+        return float(m)
+    return None
+
+
+def _finder_centers(dark: np.ndarray) -> list[tuple[float, float, float]]:
+    """Scan for finder patterns: horizontal 1:1:3:1:1 runs confirmed by
+    a vertical 1:1:3:1:1 through the candidate center; cluster the
+    (cx, cy, module) hits. Returns clusters sorted by hit count."""
+    h, w = dark.shape
+    clusters: list[list[float]] = []  # [cx, cy, module, hits]
+    for y in range(h):
+        starts, lens, vals = _runs(dark[y])
+        for s in range(len(lens) - 4):
+            if not vals[s]:
+                continue
+            m = _ratio_ok(lens[s:s + 5])
+            if m is None:
+                continue
+            # pixel-INDEX center ((len-1)/2, not len/2): at 1-px modules a
+            # continuous-coordinate center lands on .5 and rint's
+            # half-to-even rounding can leave the module entirely
+            cx = float(starts[s] + lens[s] + lens[s + 1]
+                       + (lens[s + 2] - 1) / 2.0)
+            col = int(round(cx))
+            if not (0 <= col < w):
+                continue
+            vstarts, vlens, vvals = _runs(dark[:, col])
+            ri = int(np.searchsorted(vstarts, y, side="right")) - 1
+            if not (2 <= ri < len(vlens) - 2) or not vvals[ri]:
+                continue
+            vm = _ratio_ok(vlens[ri - 2:ri + 3])
+            if vm is None:
+                continue
+            cy = float(vstarts[ri] + (vlens[ri] - 1) / 2.0)
+            mod = (m + vm) / 2.0
+            for cl in clusters:
+                if abs(cl[0] - cx) < 3 * mod and abs(cl[1] - cy) < 3 * mod:
+                    k = cl[3]
+                    cl[0] = (cl[0] * k + cx) / (k + 1)
+                    cl[1] = (cl[1] * k + cy) / (k + 1)
+                    cl[2] = (cl[2] * k + mod) / (k + 1)
+                    cl[3] = k + 1
+                    break
+            else:
+                clusters.append([cx, cy, mod, 1])
+    return [(c[0], c[1], c[2]) for c in
+            sorted(clusters, key=lambda c: -c[3])]
+
+
+def _read_format(m: np.ndarray) -> tuple[str, int] | None:
+    """Read/BCH-correct format info from either copy (min Hamming
+    distance over the 32 valid codewords, accepted at <= 3)."""
+    size = m.shape[0]
+    valid = [(_format_bits(e, mk), e, mk)
+             for e in "LMQH" for mk in range(8)]
+    best = None
+    for coords in _format_coords(size):
+        got = sum(int(m[r, c]) << i for i, (r, c) in enumerate(coords))
+        for bits, e, mk in valid:
+            d = bin(got ^ bits).count("1")
+            if best is None or d < best[0]:
+                best = (d, e, mk)
+    if best is None or best[0] > 3:
+        return None
+    return best[1], best[2]
+
+
+def decode_qr_matrix(m: np.ndarray) -> bytes:
+    """Decode a sampled module matrix (bool, True = dark): format info,
+    unmask, zigzag read, RS-correct, parse byte-mode bitstream."""
+    size = m.shape[0]
+    if m.shape != (size, size) or (size - 17) % 4:
+        raise ValueError(f"not a QR module grid: {m.shape}")
+    version = (size - 17) // 4
+    if version not in _TOTAL_CW:
+        raise ValueError(f"unsupported QR version {version}")
+    fmt = _read_format(m)
+    if fmt is None:
+        raise ValueError("format info unreadable (both copies)")
+    ecl, mask = fmt
+    if (version, ecl) not in _ECC_CW:
+        raise ValueError(f"unsupported (multi-block) combo: "
+                         f"V{version}-{ecl}")
+    fm = _function_map(size)
+    coords = _data_coords(size, fm)
+    bits = [int(m[r, c]) ^ int(_MASKS[mask](r, c)) for r, c in coords]
+    total = _TOTAL_CW[version]
+    codewords = [sum(bit << (7 - i) for i, bit in enumerate(bits[p:p + 8]))
+                 for p in range(0, total * 8, 8)]
+    n_ecc = _ECC_CW[(version, ecl)]
+    data = rs_correct(codewords, n_ecc)[:total - n_ecc]
+    # parse byte-mode stream
+    dbits = [(cw >> (7 - i)) & 1 for cw in data for i in range(8)]
+    pos, out = 0, bytearray()
+    while pos + 4 <= len(dbits):
+        mode = sum(b << (3 - i) for i, b in enumerate(dbits[pos:pos + 4]))
+        pos += 4
+        if mode == 0:
+            break
+        if mode != 4:
+            raise ValueError(f"unsupported QR mode {mode:04b}")
+        cnt = sum(b << (7 - i) for i, b in enumerate(dbits[pos:pos + 8]))
+        pos += 8
+        if pos + 8 * cnt > len(dbits):
+            raise ValueError("byte-mode segment overruns data")
+        for _ in range(cnt):
+            out.append(sum(b << (7 - i)
+                           for i, b in enumerate(dbits[pos:pos + 8])))
+            pos += 8
+    return bytes(out)
+
+
+def _try_finder_triple(dark: np.ndarray, pts: np.ndarray,
+                       module: float) -> bytes | None:
+    """Attempt a full decode assuming ``pts`` are the three finder
+    centers: orient (TL = corner center, TR/BL by cross product in
+    image coords), estimate version from span/module, affine-sample
+    the grid, decode. None on any failure."""
+    def corner_score(i: int) -> float:
+        v1 = pts[(i + 1) % 3] - pts[i]
+        v2 = pts[(i + 2) % 3] - pts[i]
+        return abs(float(np.dot(v1, v2))
+                   / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-9))
+
+    tl = min(range(3), key=corner_score)
+    a, b = pts[(tl + 1) % 3], pts[(tl + 2) % 3]
+    t = pts[tl]
+    if (a - t)[0] * (b - t)[1] - (a - t)[1] * (b - t)[0] > 0:
+        tr, bl = a, b
+    else:
+        tr, bl = b, a
+    span = float(np.linalg.norm(tr - t))
+    version = int(round((span / module + 7 - 17) / 4))
+    if version not in _TOTAL_CW:
+        return None
+    size = _size(version)
+    ex = (tr - t) / (size - 7)
+    ey = (bl - t) / (size - 7)
+    # sample: pixel(col, row) = TL + (col-3)*ex + (row-3)*ey
+    rows = np.arange(size) - 3.0
+    cols = np.arange(size) - 3.0
+    xs = t[0] + cols[None, :] * ex[0] + rows[:, None] * ey[0]
+    ys = t[1] + cols[None, :] * ex[1] + rows[:, None] * ey[1]
+    xi = np.rint(xs).astype(int)
+    yi = np.rint(ys).astype(int)
+    h, w = dark.shape
+    if xi.min() < 0 or yi.min() < 0 or xi.max() >= w or yi.max() >= h:
+        return None
+    try:
+        return decode_qr_matrix(dark[yi, xi])
+    except ValueError:
+        return None
+
+
+def decode_qr_pixels(gray: np.ndarray) -> bytes | None:
+    """Detect and decode one QR symbol in a grayscale uint8 image;
+    None when no decodable symbol is found. See module docstring for
+    the detection envelope.
+
+    Dense data regions can produce false 1:1:3:1:1 clusters (a mask-2
+    column pattern at small scales is a reliable offender), so no fixed
+    top-3 pick is trusted: every triple from the strongest candidate
+    clusters is scored by finder geometry — right isosceles corner,
+    equal spans, consistent module estimates — and decode is attempted
+    in score order until one triple yields a valid symbol (the RS
+    syndrome re-check makes a false triple fail, never mis-decode)."""
+    if gray.ndim != 2 or gray.size == 0:
+        return None
+    lo, hi = int(gray.min()), int(gray.max())
+    if hi - lo < 32:  # flat image: nothing to threshold
+        return None
+    dark = gray < (lo + hi) / 2.0
+    centers = _finder_centers(dark)[:10]
+    if len(centers) < 3:
+        return None
+
+    from itertools import combinations
+
+    scored = []
+    for i, j, k in combinations(range(len(centers)), 3):
+        pts = np.array([centers[m][:2] for m in (i, j, k)])
+        mods = np.array([centers[m][2] for m in (i, j, k)])
+        module = float(mods.mean())
+        if mods.max() > 1.5 * mods.min():  # inconsistent module sizes
+            continue
+        corner = min(range(3), key=lambda c: abs(float(
+            np.dot(pts[(c + 1) % 3] - pts[c], pts[(c + 2) % 3] - pts[c]))
+            / (np.linalg.norm(pts[(c + 1) % 3] - pts[c])
+               * np.linalg.norm(pts[(c + 2) % 3] - pts[c]) + 1e-9)))
+        v1 = pts[(corner + 1) % 3] - pts[corner]
+        v2 = pts[(corner + 2) % 3] - pts[corner]
+        d1, d2 = np.linalg.norm(v1), np.linalg.norm(v2)
+        if min(d1, d2) < 7 * module:  # closer than adjacent finders can be
+            continue
+        cos = abs(float(np.dot(v1, v2))) / (d1 * d2 + 1e-9)
+        span_mismatch = abs(d1 - d2) / max(d1, d2)
+        mod_spread = float(mods.max() / mods.min()) - 1.0
+        scored.append((cos + span_mismatch + mod_spread, pts, module))
+    scored.sort(key=lambda s: s[0])
+    for _, pts, module in scored[:20]:
+        payload = _try_finder_triple(dark, pts, module)
+        if payload is not None:
+            return payload
+    return None
+
+
+# ---------------------------------------------------------------------------
+# pyzbar-shaped surface for the strict extract_qr seam
+# ---------------------------------------------------------------------------
+
+class Decoded(NamedTuple):
+    data: bytes
+    type: str = "QRCODE"
+
+
+class QrDetectorModule:
+    """The pyzbar API subset ``operators.multimodal._pyzbar_qr_decode``
+    consumes: ``decode(pil_image) -> [Decoded(data=bytes)]``. The image
+    argument is any PIL-shaped object (functions/png.py's PngImage or
+    real Pillow): converted to grayscale and scanned for real."""
+
+    DECODER_NAME = "numpy-qr"
+
+    @staticmethod
+    def decode(image) -> list[Decoded]:
+        g = image.convert("L")
+        w, h = g.size
+        arr = np.frombuffer(g.tobytes(), dtype=np.uint8).reshape(h, w)
+        payload = decode_qr_pixels(arr)
+        return [Decoded(data=payload)] if payload is not None else []
+
+
+QR_DETECTOR_MODULE = QrDetectorModule()

@@ -1,0 +1,136 @@
+"""Real QR decode (functions/qr.py): the pyzbar-gated strict seam now
+executes a genuine detect -> sample -> de-mask -> Reed-Solomon-correct ->
+parse decode in this sandbox (reference api/util.py:8007-8051 decodes
+the AGT invoice QR through pyzbar over a PIL page image). Library-side
+pins here; the Spark-side oracle certification is the contract query
+``qr_real_roundtrip`` (CONTRACT_LOCAL_r05.txt)."""
+import io
+
+import numpy as np
+import pytest
+
+from angola_erp_ocr_spark.functions import qr
+from angola_erp_ocr_spark.functions.png import PNG_IMAGE_MODULE
+from angola_erp_ocr_spark.operators import multimodal
+
+
+def _gray(png_blob: bytes) -> np.ndarray:
+    img = PNG_IMAGE_MODULE.open(io.BytesIO(png_blob)).convert("L")
+    w, h = img.size
+    return np.frombuffer(img.tobytes(), np.uint8).reshape(h, w)
+
+
+def test_rs_corrects_up_to_design_distance():
+    """Random codewords for every supported (data, ecc) split: clean
+    passes through, floor(ecc/2) injected byte errors are corrected
+    exactly, and the syndrome re-check never lets a bad fix through."""
+    rng = np.random.RandomState(3)
+    for n_data, n_ecc in [(19, 7), (16, 10), (13, 13), (9, 17),
+                          (34, 10), (28, 16), (55, 15), (44, 26)]:
+        data = [int(v) for v in rng.randint(0, 256, n_data)]
+        cw = data + qr.rs_encode(data, n_ecc)
+        assert qr.rs_correct(cw, n_ecc) == cw
+        bad = cw[:]
+        for p in rng.choice(len(cw), n_ecc // 2, replace=False):
+            bad[p] ^= int(rng.randint(1, 256))
+        assert qr.rs_correct(bad, n_ecc) == cw, (n_data, n_ecc)
+
+
+def test_qr_matrix_roundtrip_every_combo_and_mask():
+    """Full-capacity payload through every supported single-block
+    version x ECC combo x all 8 masks; capacities cross-checked against
+    the published byte-mode table (V1-L=17, V2-M=26, V3-L=53)."""
+    assert qr.data_capacity(1, "L") == 17
+    assert qr.data_capacity(2, "M") == 26
+    assert qr.data_capacity(3, "L") == 53
+    rng = np.random.RandomState(11)
+    for (v, ecl) in qr._ECC_CW:
+        payload = bytes(int(b) for b in
+                        rng.randint(32, 127, qr.data_capacity(v, ecl)))
+        for mask in range(8):
+            m = qr.encode_qr_matrix(payload, version=v, ecl=ecl, mask=mask)
+            assert qr.decode_qr_matrix(m) == payload, (v, ecl, mask)
+
+
+def test_qr_pixel_detection_scales_rotations_contrast():
+    """Finder-pattern detection + grid sampling from rendered pixels:
+    module scales 1/2/3/5 px, all four 90-degree rotations, and a
+    contrast-squashed render (threshold is (min+max)/2, not fixed)."""
+    payload = b"https://portaldocontribuinte.gov.ao/x=1"
+    for scale in (1, 2, 3, 5):
+        for rot in range(4):
+            blob = qr.render_qr_png(payload, ecl="M", mask=5,
+                                    scale=scale, border=4, rotate=rot)
+            assert qr.decode_qr_pixels(_gray(blob)) == payload, (scale, rot)
+    dim = (_gray(qr.render_qr_png(payload, ecl="L", scale=2))
+           .astype(np.int32) * 100 // 255 + 80).astype(np.uint8)
+    assert qr.decode_qr_pixels(dim) == payload
+
+
+def test_qr_damage_within_rs_capacity_recovers():
+    """A 3x3-module inverted patch in the data region is healed by the
+    real RS correction; flat/noise images return None, never garbage."""
+    payload = b"https://portaldocontribuinte.gov.ao/x=1"
+    m = qr.encode_qr_matrix(payload, version=3, ecl="M", mask=2)
+    img = np.pad(np.kron(np.where(m, 0, 255).astype(np.uint8),
+                         np.ones((3, 3), np.uint8)), 12,
+                 constant_values=255)
+    img[40:49, 40:49] = 255 - img[40:49, 40:49]
+    assert qr.decode_qr_pixels(img) == payload
+    assert qr.decode_qr_pixels(np.full((50, 50), 128, np.uint8)) is None
+    rng = np.random.RandomState(3)
+    assert qr.decode_qr_pixels(
+        rng.randint(0, 256, (60, 60)).astype(np.uint8)) is None
+
+
+def test_qr_false_finder_clusters_do_not_block_detection():
+    """Regression: at 2-px modules, mask-2's column stripes can form
+    1:1:3:1:1 clusters in the data region that out-rank a real finder
+    in a naive top-3-by-hits pick (first seen on sf0.01 doc 26). The
+    triple-scoring detector must still decode; the exact offender is
+    pinned here payload-for-payload."""
+    payload = b"QR-26-92e2db928f0233fc"
+    blob = qr.render_qr_png(payload, ecl="L", mask=2, scale=2,
+                            border=4, rotate=2)
+    assert qr.decode_qr_pixels(_gray(blob)) == payload
+    # the mask-6 variants that failed the same sweep
+    for doc in (110, 360):
+        p = f"QR-{doc}-92e2db928f0233fc".encode()
+        blob = qr.render_qr_png(p, ecl="L", mask=doc % 8, scale=2,
+                                border=4, rotate=doc % 4)
+        assert qr.decode_qr_pixels(_gray(blob)) == p
+
+
+def test_qr_unsupported_inputs_fail_loudly():
+    """Out-of-envelope inputs raise, never mis-decode: payload over
+    capacity, multi-block combos (V3-Q), bad mask id."""
+    with pytest.raises(ValueError, match="capacity|too long"):
+        qr.encode_qr_matrix(b"x" * 54, ecl="L")          # V3-L caps at 53
+    with pytest.raises(ValueError, match="multi-block"):
+        qr.encode_qr_matrix(b"x" * 10, version=3, ecl="Q")
+    with pytest.raises(ValueError, match="mask"):
+        qr.encode_qr_matrix(b"x", mask=8)
+    with pytest.raises(ValueError, match="module grid"):
+        qr.decode_qr_matrix(np.zeros((20, 20), dtype=bool))
+
+
+def test_real_qr_decode_through_strict_seam(spark):
+    """extract_qr(strict=True) with the built-in numpy QR detector +
+    PNG image module runs a REAL decode on executors — the identical
+    injected-module path real pyzbar takes — via decode_qr_media; a
+    non-QR PNG yields no row rather than a fake."""
+    payloads = {f"image://qr/{i}":
+                f"QR-{i}-{'ab3f9c01d7e25468'[:16]}" for i in range(4)}
+    rows = [(ref, bytearray(qr.render_qr_png(
+                text.encode(), ecl="LM"[i % 2], mask=i % 8,
+                scale=2 + i % 2, rotate=i % 4)))
+            for i, (ref, text) in enumerate(payloads.items())]
+    from angola_erp_ocr_spark.functions.png import encode_png
+    rows.append(("image://qr/none", bytearray(encode_png(
+        np.zeros((12, 12), dtype=np.uint8)))))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = multimodal.decode_qr_media(
+        df, strict=True, pyzbar_module=qr.QR_DETECTOR_MODULE,
+        image_module=PNG_IMAGE_MODULE)
+    got = {r["media_ref"]: r["qr_text"] for r in out.collect()}
+    assert got == payloads
