@@ -236,7 +236,15 @@ def extract_qr(blob: bytes, strict: bool = False,
     Other binaries (real page images): require a real detector —
     ``pyzbar_module``/``image_module`` when injected, else the installed
     pyzbar when available, else None (strict=True raises, the production
-    posture when image codecs are expected)."""
+    posture when image codecs are expected).
+
+    A REAL in-repo detector pair exists for PNG-rendered symbols:
+    ``functions.qr.QR_DETECTOR_MODULE`` + ``functions.png.
+    PNG_IMAGE_MODULE`` (pure numpy; finder detection, de-masking,
+    Reed-Solomon correction). Injection stays explicit by design (r5
+    self-review: real decoders are opt-in, never auto-selected), and the
+    pair is oracle-certified end-to-end by the ``qr_real_roundtrip``
+    contract query."""
     from ..glyph import MAGIC, payload_end
 
     if blob[:4] == MAGIC:
