@@ -51,8 +51,14 @@ def _chunks(blob: bytes):
     while pos + 8 <= len(blob):
         (length,), ctype = struct.unpack(">I", blob[pos:pos + 4]), blob[pos + 4:pos + 8]
         data = blob[pos + 8:pos + 8 + length]
-        if len(data) != length:
+        if len(data) != length or len(blob) < pos + 12 + length:
             raise ValueError("truncated PNG chunk")
+        # verify the chunk CRC (spec: CRC-32 over type+data): bit rot in
+        # uncompressed chunks (PLTE, IHDR) would otherwise decode to
+        # silently wrong pixels — fail loudly instead
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length:pos + 12 + length])
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         yield ctype, data
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IEND":
@@ -138,7 +144,12 @@ def decode_png(blob: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("PNG missing IHDR")
     channels = _CHANNELS[color_type]
     stride = width * channels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        # uniform failure type: every decode_png rejection is ValueError
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     flat = _unfilter(raw, height, stride, bpp=channels)
@@ -146,6 +157,8 @@ def decode_png(blob: bytes) -> tuple[np.ndarray, int]:
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
+        if int(img.max()) >= len(palette):
+            raise ValueError("PNG palette index out of range")
         img = palette[img[:, :, 0]]
     return img, color_type
 

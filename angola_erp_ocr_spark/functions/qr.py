@@ -122,17 +122,26 @@ def _gf_solve(a: list[list[int]], b: list[int]) -> list[int] | None:
     return [m[r][n] for r in range(n)]
 
 
-def rs_correct(codeword: list[int], n_ecc: int) -> list[int]:
-    """Correct up to floor(n_ecc/2) codeword errors in place-safe copy;
-    raises ValueError when uncorrectable. PGZ locator + Chien search +
-    Vandermonde magnitude solve, then every syndrome re-verified — a
-    wrong 'correction' can never be returned silently."""
+def rs_correct(codeword: list[int], n_ecc: int,
+               max_errors: int | None = None) -> list[int]:
+    """Correct up to ``max_errors`` (default floor(n_ecc/2)) codeword
+    errors in a place-safe copy; raises ValueError when uncorrectable.
+    PGZ locator + Chien search + Vandermonde magnitude solve, then every
+    syndrome re-verified — a wrong 'correction' can never be returned
+    silently. QR callers pass the ISO capacity t = (n_ecc - p)/2, where
+    p misdecode-protection codewords are RESERVED from correction at
+    low versions (spec table: V1-L corrects 2 of 7, not 3) precisely so
+    a heavily damaged codeword cannot land within corrective distance
+    of a *different* valid codeword."""
     n = len(codeword)
+    t_max = n_ecc // 2 if max_errors is None else min(max_errors, n_ecc // 2)
     synd = [_poly_eval(codeword, int(_EXP[i])) for i in range(n_ecc)]
     if not any(synd):
         return list(codeword)
+    if t_max < 1:
+        raise ValueError("RS: errors present but correction capacity 0")
     # PGZ: largest nu with non-singular syndrome matrix
-    for nu in range(n_ecc // 2, 0, -1):
+    for nu in range(t_max, 0, -1):
         a = [[synd[r + c] for c in range(nu)] for r in range(nu)]
         b = [synd[r + nu] for r in range(nu)]
         mu = _gf_solve(a, b)
@@ -177,6 +186,12 @@ _TOTAL_CW = {1: 26, 2: 44, 3: 70}
 _ECC_CW = {(1, "L"): 7, (1, "M"): 10, (1, "Q"): 13, (1, "H"): 17,
            (2, "L"): 10, (2, "M"): 16, (2, "Q"): 22, (2, "H"): 28,
            (3, "L"): 15, (3, "M"): 26}
+# ISO error-correction capacity t per (version, ECL): (ecc - p) / 2 with
+# p misdecode-protection codewords reserved at low versions — V1-L has
+# 7 ecc but corrects only 2 (p=3), per the spec's capacity table
+_T_CAP = {(1, "L"): 2, (1, "M"): 4, (1, "Q"): 6, (1, "H"): 8,
+          (2, "L"): 4, (2, "M"): 8, (2, "Q"): 11, (2, "H"): 14,
+          (3, "L"): 7, (3, "M"): 13}
 _ECL_BITS = {"L": 1, "M": 0, "Q": 3, "H": 2}
 _BITS_ECL = {v: k for k, v in _ECL_BITS.items()}
 
@@ -458,7 +473,8 @@ def decode_qr_matrix(m: np.ndarray) -> bytes:
     codewords = [sum(bit << (7 - i) for i, bit in enumerate(bits[p:p + 8]))
                  for p in range(0, total * 8, 8)]
     n_ecc = _ECC_CW[(version, ecl)]
-    data = rs_correct(codewords, n_ecc)[:total - n_ecc]
+    data = rs_correct(codewords, n_ecc,
+                      max_errors=_T_CAP[(version, ecl)])[:total - n_ecc]
     # parse byte-mode stream
     dbits = [(cw >> (7 - i)) & 1 for cw in data for i in range(8)]
     pos, out = 0, bytearray()
@@ -481,18 +497,11 @@ def decode_qr_matrix(m: np.ndarray) -> bytes:
 
 
 def _try_finder_triple(dark: np.ndarray, pts: np.ndarray,
-                       module: float) -> bytes | None:
+                       module: float, tl: int) -> bytes | None:
     """Attempt a full decode assuming ``pts`` are the three finder
-    centers: orient (TL = corner center, TR/BL by cross product in
-    image coords), estimate version from span/module, affine-sample
-    the grid, decode. None on any failure."""
-    def corner_score(i: int) -> float:
-        v1 = pts[(i + 1) % 3] - pts[i]
-        v2 = pts[(i + 2) % 3] - pts[i]
-        return abs(float(np.dot(v1, v2))
-                   / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-9))
-
-    tl = min(range(3), key=corner_score)
+    centers and ``pts[tl]`` the corner (top-left) one: orient TR/BL by
+    cross product in image coords, estimate version from span/module,
+    affine-sample the grid, decode. None on any failure."""
     a, b = pts[(tl + 1) % 3], pts[(tl + 2) % 3]
     t = pts[tl]
     if (a - t)[0] * (b - t)[1] - (a - t)[1] * (b - t)[0] > 0:
@@ -522,24 +531,16 @@ def _try_finder_triple(dark: np.ndarray, pts: np.ndarray,
         return None
 
 
-def decode_qr_pixels(gray: np.ndarray) -> bytes | None:
-    """Detect and decode one QR symbol in a grayscale uint8 image;
-    None when no decodable symbol is found. See module docstring for
-    the detection envelope.
-
-    Dense data regions can produce false 1:1:3:1:1 clusters (a mask-2
-    column pattern at small scales is a reliable offender), so no fixed
-    top-3 pick is trusted: every triple from the strongest candidate
-    clusters is scored by finder geometry — right isosceles corner,
-    equal spans, consistent module estimates — and decode is attempted
-    in score order until one triple yields a valid symbol (the RS
-    syndrome re-check makes a false triple fail, never mis-decode)."""
-    if gray.ndim != 2 or gray.size == 0:
-        return None
-    lo, hi = int(gray.min()), int(gray.max())
-    if hi - lo < 32:  # flat image: nothing to threshold
-        return None
-    dark = gray < (lo + hi) / 2.0
+def _detect_in(dark: np.ndarray) -> bytes | None:
+    """Detect and decode one symbol in a boolean (True = module-dark)
+    image. Dense data regions can produce false 1:1:3:1:1 clusters (a
+    mask-2 column pattern at small scales is a reliable offender), so
+    no fixed top-3 pick is trusted: every triple from the strongest
+    candidate clusters is scored by finder geometry — right isosceles
+    corner, equal spans, consistent module estimates — and decode is
+    attempted in score order until one triple yields a valid symbol
+    (the RS syndrome re-check makes a false triple fail, never
+    mis-decode)."""
     centers = _finder_centers(dark)[:10]
     if len(centers) < 3:
         return None
@@ -565,10 +566,30 @@ def decode_qr_pixels(gray: np.ndarray) -> bytes | None:
         cos = abs(float(np.dot(v1, v2))) / (d1 * d2 + 1e-9)
         span_mismatch = abs(d1 - d2) / max(d1, d2)
         mod_spread = float(mods.max() / mods.min()) - 1.0
-        scored.append((cos + span_mismatch + mod_spread, pts, module))
+        scored.append((cos + span_mismatch + mod_spread, pts, module, corner))
     scored.sort(key=lambda s: s[0])
-    for _, pts, module in scored[:20]:
-        payload = _try_finder_triple(dark, pts, module)
+    for _, pts, module, corner in scored[:20]:
+        payload = _try_finder_triple(dark, pts, module, corner)
+        if payload is not None:
+            return payload
+    return None
+
+
+def decode_qr_pixels(gray: np.ndarray) -> bytes | None:
+    """Detect and decode one QR symbol in a grayscale uint8 image;
+    None when no decodable symbol is found. See module docstring for
+    the detection envelope. Tries normal polarity first, then inverted
+    (light modules on a dark background — a dark-mode render or a
+    negative scan); a normal-polarity symbol never reaches the inverted
+    pass, so the retry costs nothing on the common path."""
+    if gray.ndim != 2 or gray.size == 0:
+        return None
+    lo, hi = int(gray.min()), int(gray.max())
+    if hi - lo < 32:  # flat image: nothing to threshold
+        return None
+    dark = gray < (lo + hi) / 2.0
+    for polarity in (dark, ~dark):
+        payload = _detect_in(polarity)
         if payload is not None:
             return payload
     return None

@@ -280,7 +280,22 @@ def decode_qr_media(df: DataFrame, ref_col: str = "media_ref",
                     pyzbar_module=None, image_module=None) -> DataFrame:
     """mapInPandas QR stage over (ref, bytes) batches → one row per page
     that carries a decodable QR: (media_ref, qr_text). Injected detector
-    modules (see ``extract_qr``) travel in the UDF closure to executors."""
+    modules (see ``extract_qr``) travel in the UDF closure to executors.
+
+    Per the "one row per page that carries a DECODABLE QR" contract, a
+    blob whose image itself cannot be decoded (corrupt/unknown bytes —
+    the decoder pair raises ValueError) yields no row, exactly like a
+    readable page with no QR on it; at 100 TB one rotted blob must not
+    fail the stage after task retries. Configuration errors
+    (NotImplementedError from a missing detector, mismatched injection)
+    still fail loudly — those are operator mistakes, not data quality."""
+    if (pyzbar_module is None) != (image_module is None):
+        # mismatched injection is a caller error: fail at plan time,
+        # not per-row on executors (same rule as extract_qr)
+        raise ValueError(
+            "decode_qr_media: inject pyzbar_module and image_module "
+            "together (the decode consumes both surfaces)")
+
     schema = T.StructType([
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("qr_text", T.StringType(), False),
@@ -290,9 +305,12 @@ def decode_qr_media(df: DataFrame, ref_col: str = "media_ref",
         for pdf in batches:
             refs, texts = [], []
             for ref, blob in zip(pdf[ref_col], pdf[bytes_col]):
-                qr = extract_qr(bytes(blob), strict=strict,
-                                pyzbar_module=pyzbar_module,
-                                image_module=image_module)
+                try:
+                    qr = extract_qr(bytes(blob), strict=strict,
+                                    pyzbar_module=pyzbar_module,
+                                    image_module=image_module)
+                except ValueError:
+                    qr = None  # undecodable image: data, not config
                 if qr is not None:
                     refs.append(ref)
                     texts.append(qr)

@@ -585,6 +585,44 @@ def test_png_codec_roundtrip_all_types_and_filters():
     assert thumb.size == (8, 1) and set(thumb.tobytes()) == {200}
 
 
+def test_png_rejects_corruption_loudly():
+    """Every corruption mode is a ValueError, never wrong pixels or a
+    foreign exception class: chunk CRC mismatch (bit rot in PLTE/IHDR
+    has no compression layer protecting it), corrupt IDAT zlib stream,
+    palette index beyond PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from angola_erp_ocr_spark.functions import png
+
+    blob = bytearray(png.encode_png(
+        np.arange(48, dtype=np.uint8).reshape(4, 12)))
+    blob[-20] ^= 0x01  # flip a bit inside a chunk body
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(blob))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad_idat = (png._SIGNATURE + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", b"\x00not-zlib") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT"):
+        png.decode_png(bad_idat)
+
+    ihdr3 = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([10, 20, 30] * 2)                      # 2 entries
+    raw = bytes([0, 0, 200])                            # index 200 >= 2
+    oob = (png._SIGNATURE + chunk(b"IHDR", ihdr3) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        png.decode_png(oob)
+
+
 def test_png_real_decode_through_strict_seam(spark):
     """decode_images(strict=True, image_module=PNG_IMAGE_MODULE) runs a
     REAL decode on executors in this sandbox — no injection stub, no

@@ -101,6 +101,81 @@ def test_qr_false_finder_clusters_do_not_block_detection():
         assert qr.decode_qr_pixels(_gray(blob)) == p
 
 
+def test_qr_format_info_matches_iso_vector_and_reader_layout():
+    """Format info pinned against public ground truth: the ISO/IEC
+    18004 worked example (data 00101 = ECL M, mask 101 -> masked string
+    100000011001110) and the placement layout shared by the reference
+    encoder/decoder implementations — bit 14 (MSB) at (row 8, col 0),
+    bit 0 (LSB) at (row 0, col 8), copy 2 running under the TR finder
+    then beside the BL finder. Both copies of an encoded symbol read
+    back the identical 15-bit string. (A review claimed copy 1 is
+    bit-reversed vs ISO; this vector + layout pin adjudicates it.)"""
+    assert qr._format_bits("M", 5) == 0b100000011001110
+    c1, c2 = qr._format_coords(25)
+    assert c1[0] == (0, 8) and c1[14] == (8, 0)          # LSB / MSB copy 1
+    assert c1[6:9] == [(7, 8), (8, 8), (8, 7)]           # timing-skip elbow
+    assert c2[0] == (8, 24) and c2[7] == (8, 17)         # row-8 strip
+    assert c2[8] == (18, 8) and c2[14] == (24, 8)        # col-8 strip
+    m = qr.encode_qr_matrix(b"hi", version=2, ecl="M", mask=5)
+    for coords in (c1, c2):
+        got = sum(int(m[r, c]) << i for i, (r, c) in enumerate(coords))
+        assert got == 0b100000011001110
+
+
+def test_qr_inverted_brightness_decodes():
+    """Light-modules-on-dark (negative scan / dark-mode render) decodes
+    via the polarity retry; the normal path is unaffected."""
+    payload = b"QR-inv-0123456789abcdef"
+    g = _gray(qr.render_qr_png(payload, ecl="L", mask=4, scale=2))
+    assert qr.decode_qr_pixels(255 - g) == payload
+    assert qr.decode_qr_pixels(g) == payload
+
+
+def test_qr_correction_capacity_respects_misdecode_reservation():
+    """ISO reserves p misdecode-protection codewords at low versions:
+    V1-L corrects 2 of its 7 ecc codewords, not 3. Two corrupted
+    codewords decode; three raise — never a silent wrong payload."""
+    payload = b"hello-iso-p"
+    m = qr.encode_qr_matrix(payload, version=1, ecl="L", mask=0)
+    fm = qr._function_map(21)
+    coords = qr._data_coords(21, fm)
+    bits = [int(m[r, c]) ^ int(qr._MASKS[0](r, c)) for r, c in coords]
+    cw = [sum(b << (7 - i) for i, b in enumerate(bits[p:p + 8]))
+          for p in range(0, 26 * 8, 8)]
+
+    def rebuild(codewords):
+        mm = m.copy()
+        allbits = [(c >> (7 - i)) & 1 for c in codewords for i in range(8)]
+        for i, (r, c) in enumerate(coords):
+            v = allbits[i] if i < len(allbits) else 0
+            mm[r, c] = bool(v) ^ qr._MASKS[0](r, c)
+        return mm
+
+    two = cw[:]; two[0] ^= 0x55; two[10] ^= 0xAA
+    assert qr.decode_qr_matrix(rebuild(two)) == payload
+    three = cw[:]; three[0] ^= 0x55; three[10] ^= 0xAA; three[20] ^= 0x33
+    with pytest.raises(ValueError):
+        qr.decode_qr_matrix(rebuild(three))
+
+
+def test_decode_qr_media_skips_corrupt_blobs_not_the_stage(spark):
+    """One rotted blob in a 100-TB corpus must not fail the stage: an
+    undecodable IMAGE (non-PNG bytes, bad CRC) yields no row — same as
+    a readable page with no QR — while a mismatched module injection
+    still fails loudly at plan time (config, not data)."""
+    payload = b"QR-ok-0123456789abcdef"
+    rows = [("image://ok", bytearray(qr.render_qr_png(payload, scale=2))),
+            ("image://rot", bytearray(b"\xff\xd8\xff not a png at all"))]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = multimodal.decode_qr_media(
+        df, strict=True, pyzbar_module=qr.QR_DETECTOR_MODULE,
+        image_module=PNG_IMAGE_MODULE).collect()
+    assert [(r["media_ref"], r["qr_text"]) for r in got] == [
+        ("image://ok", payload.decode())]
+    with pytest.raises(ValueError, match="together"):
+        multimodal.decode_qr_media(df, pyzbar_module=qr.QR_DETECTOR_MODULE)
+
+
 def test_qr_unsupported_inputs_fail_loudly():
     """Out-of-envelope inputs raise, never mis-decode: payload over
     capacity, multi-block combos (V3-Q), bad mask id."""
