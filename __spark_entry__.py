@@ -2582,6 +2582,10 @@ def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.unhex(F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 8))
          .alias("pixels"))
+    # single-row-group test parquet = one split: round-robin the tiny
+    # (doc_id, 128B) rows so the Arrow stage is parallel (see
+    # qr_real_roundtrip; at 100 TB the scan's own splits do this)
+    src = src.repartition(spark.sparkContext.defaultParallelism)
 
     def to_png(batches):
         import io
@@ -2636,8 +2640,12 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format-info BCH, de-masking, Reed-Solomon correction — using the
     same injected-module path real pyzbar takes. The decoded text is
     returned; it equals the oracle's recomputed payload iff the whole
-    real detect->decode chain is exact. One stateless Arrow stage, no
-    shuffle — the 100-TB shape."""
+    real detect->decode chain is exact. The render+decode kernel is
+    stateless per row — at 100 TB the parquet scan's own splits feed it
+    in parallel with no shuffle; the test tables are single-row-group
+    files (one split), so an explicit round-robin repartition of the
+    tiny (doc_id, 40-char payload) rows keeps the Arrow stage parallel
+    here too (measured: 116 s single-task vs ~4 s on 32 at sf0.1)."""
     from angola_erp_ocr_spark.functions.png import PNG_IMAGE_MODULE
     from angola_erp_ocr_spark.functions.qr import (QR_DETECTOR_MODULE,
                                                    render_qr_png)
@@ -2648,6 +2656,7 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("QR-"), F.col("doc_id").cast("string"), F.lit("-"),
                  F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 16)
                  ).alias("payload_text"))
+    src = src.repartition(spark.sparkContext.defaultParallelism)
 
     def to_qr_png(batches):
         import pandas as pd
