@@ -176,6 +176,25 @@ def test_decode_qr_media_skips_corrupt_blobs_not_the_stage(spark):
         multimodal.decode_qr_media(df, pyzbar_module=qr.QR_DETECTOR_MODULE)
 
 
+def test_certification_queries_are_not_split_starved(spark):
+    """Regression tripwire for the sf0.1 starvation wart (BENCH/
+    ANALYSIS.md): the test parquets are single-row-group files, so
+    without an explicit repartition the expensive render->decode Arrow
+    stage inherits ONE scan split and runs single-task (measured 116 s
+    vs 6.8 s on 32 cores). Pin that both certification queries carry a
+    round-robin exchange ahead of the Python stage."""
+    import __spark_entry__ as e
+
+    for name in ("png_roundtrip", "qr_real_roundtrip"):
+        plan = (e.queries()[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        mapin = plan.find("MapInPandas")
+        assert mapin != -1, name
+        assert "RoundRobinPartitioning" in plan[mapin:], (
+            f"{name}: no round-robin exchange below the Arrow stage — "
+            "single-row-group input will run it single-task")
+
+
 def test_qr_unsupported_inputs_fail_loudly():
     """Out-of-envelope inputs raise, never mis-decode: payload over
     capacity, multi-block combos (V3-Q), bad mask id."""
