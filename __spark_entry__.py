@@ -1819,6 +1819,11 @@ _DEPRIORITIZED = [
     # qr_decode; this query proves the STRICT detector path and sits
     # below the window to leave the driver's 50 stable
     "qr_real_roundtrip",
+    # html_dom_spans: the DOM-parse certification (r5, operators/dom.py —
+    # S3's HTML mode run for real). The layout heuristics it feeds are
+    # already in-window (L1–L14); this sits below the window to leave the
+    # driver's 50 stable and is locally oracle-checked like the rest
+    "html_dom_spans",
 ]
 # The driver validates list(queries())[:50]. The window composition is
 # committed as DRIVER_WINDOW.md (regenerate: python tools/write_window.py)
@@ -2690,6 +2695,68 @@ FROM documents
 
 _QUERIES["qr_real_roundtrip"] = q_qr_real_roundtrip
 _ORACLES["qr_real_roundtrip"] = SQL_QR_REAL_ROUNDTRIP
+
+
+def q_html_dom_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3's HTML mode, run for real (the north rule's literal 'HTML
+    boilerplate strip / DOM heuristics' leg). pdfminer-shaped HTML is
+    built JVM-side from each document — three absolutely-positioned
+    content divs with entity-encoded text and nested <span>/<br> tags,
+    a 'Pagina 1 de 1' boilerplate div, an empty anchor div, and an
+    unpositioned (no left:) div — then parsed BACK by the DOM operator
+    (operators/dom.py: regexp div explode in document order, left/top
+    style parse, tag strip = lxml text_content(), entity decode;
+    reference api/util.py:2457-2515's .//div walk, which skips
+    unpositioned divs via IndexError→continue) and boilerplate-stripped
+    (AVOID_RE + empty divs). The oracle recomputes the expected spans
+    directly from the source text, never touching HTML, so a hash match
+    proves the DOM parse itself — entities, tag nesting, document-order
+    numbering, skip-unpositioned, boilerplate strip — is exact."""
+    from angola_erp_ocr_spark.operators.dom import (parse_html_divs,
+                                                    strip_dom_boilerplate)
+
+    toks = F.split(F.col("text"), " ")
+
+    def content_div(i: int):
+        x = (F.lit(40) + F.lit(7) * F.pmod(F.col("doc_id") + F.lit(i),
+                                           F.lit(5))).cast("int")
+        enc = F.concat(
+            F.lit(f"{i}: R&amp;D &lt;"), F.col("lang"), F.lit("&gt; "),
+            F.array_join(F.slice(toks, 4 * i + 1, 4), " "))
+        return F.concat(
+            F.lit('<div style="position:absolute; border: textbox 1px '
+                  'solid; writing-mode:lr-tb; left:'), x.cast("string"),
+            F.lit(f"px; top:{100 + 20 * i}px; width:200px; height:12px;\">"
+                  '<span style="font-family: Helvetica; font-size:9px">'),
+            enc, F.lit("</span><br></div>"))
+
+    html = F.concat(
+        F.lit('<div style="position:absolute; left:0px; top:980px;">'
+              "<span>Pagina 1 de 1</span><br></div>"),
+        F.lit('<div style="position:absolute; left:0px; top:0px;"></div>'),
+        content_div(0), content_div(1), content_div(2),
+        F.lit("<div><span>unpositioned trailer</span></div>"))
+    pages = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return strip_dom_boilerplate(parse_html_divs(pages)).select(
+        "doc_id", "div_no", "x", "y", "text")
+
+
+SQL_HTML_DOM_SPANS = """
+WITH u AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         unnest([0, 1, 2]) AS i
+  FROM documents)
+SELECT doc_id,
+       CAST(i + 2 AS INTEGER) AS div_no,
+       CAST(40 + 7 * ((doc_id + i) % 5) AS INTEGER) AS x,
+       CAST(100 + 20 * i AS INTEGER) AS y,
+       trim(CAST(i AS VARCHAR) || ': R&D <' || lang || '> '
+            || array_to_string(toks[4*i+1:4*i+4], ' ')) AS text
+FROM u
+"""
+
+_QUERIES["html_dom_spans"] = q_html_dom_spans
+_ORACLES["html_dom_spans"] = SQL_HTML_DOM_SPANS
 
 
 def q_k4_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,66 @@
+"""DOM-heuristic HTML span extraction (operators/dom.py; S3 HTML mode —
+reference api/util.py:2457-2515: lxml .//div walk, left:px style parse,
+text_content(), skip-unpositioned-via-continue)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from angola_erp_ocr_spark.operators.dom import (decode_entities,
+                                                parse_html_divs,
+                                                strip_dom_boilerplate)
+
+PAGE = (
+    '<div style="position:absolute; left:0px; top:980px;">'
+    "<span>Pagina 1 de 1</span><br></div>"
+    '<div style="position:absolute; left:0px; top:0px;"></div>'
+    '<div style="position:absolute; border: textbox 1px solid; '
+    'writing-mode:lr-tb; left:292px; top:1157px; width:27px; height:12px;">'
+    '<span style="font-family: Helvetica; font-size:9px">TOTAL '
+    "1.234,56 AOA</span><br></div>"
+    '<div style="position:absolute; left:40px; top:100px;">'
+    "<span>R&amp;D &lt;laudo&gt; &quot;ok&quot; &#39;x&#39; "
+    "&amp;amp;</span><br></div>"
+    "<div><span>unpositioned trailer</span></div>"
+)
+
+
+def _parse(spark, **kw):
+    df = spark.createDataFrame([("d1", PAGE)], "doc_id string, html string")
+    return parse_html_divs(df, **kw).orderBy("div_no")
+
+
+def test_parse_positions_text_and_document_order(spark):
+    rows = _parse(spark).collect()
+    # the unpositioned trailer is dropped (reference's IndexError→continue)
+    assert [r.div_no for r in rows] == [0, 1, 2, 3]
+    assert (rows[2].x, rows[2].y) == (292, 1157)
+    # nested span stripped, text_content concatenation
+    assert rows[2].text == "TOTAL 1.234,56 AOA"
+    # empty anchor div parses to empty text, not a crash
+    assert rows[1].text == ""
+
+
+def test_entity_decode_and_single_pass_amp(spark):
+    rows = _parse(spark).collect()
+    # &amp; decodes LAST: '&amp;amp;' is literal '&amp;' — a double
+    # decode would produce '&'
+    assert rows[3].text == "R&D <laudo> \"ok\" 'x' &amp;"
+    one = (spark.range(1)
+           .select(decode_entities(F.lit("&amp;lt;")).alias("t"))
+           .first().t)
+    assert one == "&lt;"
+
+
+def test_keep_unpositioned_yields_null_coords(spark):
+    rows = _parse(spark, keep_unpositioned=True).collect()
+    assert [r.div_no for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[4].x is None and rows[4].y is None
+    assert rows[4].text == "unpositioned trailer"
+
+
+def test_strip_dom_boilerplate_drops_furniture_and_empties(spark):
+    out = strip_dom_boilerplate(_parse(spark)).orderBy("div_no").collect()
+    # 'Pagina 1 de 1' (AVOID_RE page-number furniture) and the empty
+    # anchor are gone; content divs survive
+    assert [r.div_no for r in out] == [2, 3]
