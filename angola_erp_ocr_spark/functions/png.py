@@ -125,6 +125,10 @@ def decode_png(blob: bytes) -> tuple[np.ndarray, int]:
     idat = []
     for ctype, data in _chunks(bytes(blob)):
         if ctype == b"IHDR":
+            if len(data) != 13:
+                # keep the uniform failure type: a CRC-valid but
+                # wrong-length IHDR must not escape as struct.error
+                raise ValueError(f"bad PNG IHDR length {len(data)}")
             width, height, bit_depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
             if bit_depth != 8:

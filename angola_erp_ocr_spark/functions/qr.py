@@ -387,17 +387,22 @@ def _ratio_ok(lens: np.ndarray) -> float | None:
     return None
 
 
-def _finder_centers(dark: np.ndarray) -> list[tuple[float, float, float]]:
+def _finder_centers(
+        dark: np.ndarray) -> list[tuple[float, float, float, bool]]:
     """Scan for finder patterns: horizontal 1:1:3:1:1 runs confirmed by
     a vertical 1:1:3:1:1 through the candidate center; cluster the
-    (cx, cy, module) hits. Returns clusters sorted by hit count."""
+    (cx, cy, module) hits. ONE pass serves BOTH polarities — the same
+    run-length encoding carries a normal finder (window starts on a
+    dark run) and an inverted one (starts on a light run), so
+    supporting negative scans costs no second image sweep. Returns
+    clusters sorted by hit count as (cx, cy, module, polarity) with
+    polarity=True for normal (dark-module) candidates."""
     h, w = dark.shape
-    clusters: list[list[float]] = []  # [cx, cy, module, hits]
+    clusters: list[list[float]] = []  # [cx, cy, module, hits, pol]
     for y in range(h):
         starts, lens, vals = _runs(dark[y])
         for s in range(len(lens) - 4):
-            if not vals[s]:
-                continue
+            pol = bool(vals[s])
             m = _ratio_ok(lens[s:s + 5])
             if m is None:
                 continue
@@ -411,7 +416,7 @@ def _finder_centers(dark: np.ndarray) -> list[tuple[float, float, float]]:
                 continue
             vstarts, vlens, vvals = _runs(dark[:, col])
             ri = int(np.searchsorted(vstarts, y, side="right")) - 1
-            if not (2 <= ri < len(vlens) - 2) or not vvals[ri]:
+            if not (2 <= ri < len(vlens) - 2) or bool(vvals[ri]) != pol:
                 continue
             vm = _ratio_ok(vlens[ri - 2:ri + 3])
             if vm is None:
@@ -419,7 +424,8 @@ def _finder_centers(dark: np.ndarray) -> list[tuple[float, float, float]]:
             cy = float(vstarts[ri] + (vlens[ri] - 1) / 2.0)
             mod = (m + vm) / 2.0
             for cl in clusters:
-                if abs(cl[0] - cx) < 3 * mod and abs(cl[1] - cy) < 3 * mod:
+                if (cl[4] == pol and abs(cl[0] - cx) < 3 * mod
+                        and abs(cl[1] - cy) < 3 * mod):
                     k = cl[3]
                     cl[0] = (cl[0] * k + cx) / (k + 1)
                     cl[1] = (cl[1] * k + cy) / (k + 1)
@@ -427,8 +433,8 @@ def _finder_centers(dark: np.ndarray) -> list[tuple[float, float, float]]:
                     cl[3] = k + 1
                     break
             else:
-                clusters.append([cx, cy, mod, 1])
-    return [(c[0], c[1], c[2]) for c in
+                clusters.append([cx, cy, mod, 1, pol])
+    return [(c[0], c[1], c[2], c[4]) for c in
             sorted(clusters, key=lambda c: -c[3])]
 
 
@@ -531,17 +537,18 @@ def _try_finder_triple(dark: np.ndarray, pts: np.ndarray,
         return None
 
 
-def _detect_in(dark: np.ndarray) -> bytes | None:
-    """Detect and decode one symbol in a boolean (True = module-dark)
-    image. Dense data regions can produce false 1:1:3:1:1 clusters (a
-    mask-2 column pattern at small scales is a reliable offender), so
-    no fixed top-3 pick is trusted: every triple from the strongest
-    candidate clusters is scored by finder geometry — right isosceles
-    corner, equal spans, consistent module estimates — and decode is
-    attempted in score order until one triple yields a valid symbol
-    (the RS syndrome re-check makes a false triple fail, never
-    mis-decode)."""
-    centers = _finder_centers(dark)[:10]
+def _detect_in(dark: np.ndarray,
+               centers: list[tuple[float, float, float, bool]]
+               ) -> bytes | None:
+    """Decode one symbol from pre-scanned finder candidates over a
+    boolean (True = module-dark) image. Dense data regions can produce
+    false 1:1:3:1:1 clusters (a mask-2 column pattern at small scales
+    is a reliable offender), so no fixed top-3 pick is trusted: every
+    triple from the strongest candidate clusters is scored by finder
+    geometry — right isosceles corner, equal spans, consistent module
+    estimates — and decode is attempted in score order until one triple
+    yields a valid symbol (the RS syndrome re-check makes a false
+    triple fail, never mis-decode)."""
     if len(centers) < 3:
         return None
 
@@ -578,18 +585,22 @@ def _detect_in(dark: np.ndarray) -> bytes | None:
 def decode_qr_pixels(gray: np.ndarray) -> bytes | None:
     """Detect and decode one QR symbol in a grayscale uint8 image;
     None when no decodable symbol is found. See module docstring for
-    the detection envelope. Tries normal polarity first, then inverted
-    (light modules on a dark background — a dark-mode render or a
-    negative scan); a normal-polarity symbol never reaches the inverted
-    pass, so the retry costs nothing on the common path."""
+    the detection envelope. Both polarities are supported (light
+    modules on a dark background — a dark-mode render or a negative
+    scan) from ONE finder scan: the run-length sweep tags each
+    candidate with its polarity, so a page with no symbol pays a single
+    image pass, not one per polarity. Normal-polarity triples are
+    attempted first."""
     if gray.ndim != 2 or gray.size == 0:
         return None
     lo, hi = int(gray.min()), int(gray.max())
     if hi - lo < 32:  # flat image: nothing to threshold
         return None
     dark = gray < (lo + hi) / 2.0
-    for polarity in (dark, ~dark):
-        payload = _detect_in(polarity)
+    centers = _finder_centers(dark)
+    for pol in (True, False):
+        cand = [c for c in centers if c[3] == pol][:10]
+        payload = _detect_in(dark if pol else ~dark, cand)
         if payload is not None:
             return payload
     return None

@@ -41,6 +41,11 @@ from ..functions.normalize import AVOID_RE
 # textbox divs, so the lazy body never swallows a sibling.
 _DIV_RE = r"(?s)<div\b[^>]*>.*?</div>"
 _BODY_RE = r"(?s)^<div\b[^>]*>(.*)</div>$"
+# The style ATTRIBUTE of the opening tag — coordinates are read from it,
+# never from text content (the reference reads div.get('style'),
+# api/util.py:2492; a body that merely MENTIONS 'left:99px' must not
+# position the span).
+_STYLE_RE = r'(?s)^<div\b[^>]*\bstyle="([^"]*)"'
 _LEFT_RE = r"left:(\d+)px"
 _TOP_RE = r"top:(\d+)px"
 _TAG_RE = r"<[^>]*>"
@@ -56,6 +61,16 @@ def decode_entities(col: Column) -> Column:
     """HTML entity decode as a codegen'd regexp_replace chain."""
     for ent, ch in _ENTITIES:
         col = F.regexp_replace(col, ent, ch)
+    return col
+
+
+def encode_entities(col: Column) -> Column:
+    """The inverse chain (& FIRST, so already-encoded text never
+    double-encodes its own escapes) — what pdfminer's html.escape does
+    when writing div text. Used by fixtures that render HTML from raw
+    corpus text."""
+    for ent, ch in reversed(_ENTITIES):
+        col = F.replace(col, F.lit(ch), F.lit(ent))
     return col
 
 
@@ -77,16 +92,26 @@ def parse_html_divs(df: DataFrame, html_col: str = "html",
     crash-stop is unacceptable (north rule R5 restatement).
     """
     carried = [c for c in df.columns if c != html_col]
+    clash = {"div_no", "x", "y", "text", "_div", "_style"} & set(carried)
+    if clash:
+        raise ValueError(
+            f"parse_html_divs output columns collide with input columns "
+            f"{sorted(clash)}; rename or drop them (the documents table's "
+            f"own 'text' is the usual culprit)")
     divs = df.select(
         *carried,
         F.posexplode_outer(
             F.regexp_extract_all(F.col(html_col), F.lit(_DIV_RE), F.lit(0))
         ).alias("div_no", "_div"),
-    )
+    ).withColumn("_style", F.regexp_extract("_div", _STYLE_RE, 1))
     # regexp_extract returns '' on no-match; nullif keeps the cast null
-    # instead of a silent 0 coordinate.
-    x = F.nullif(F.regexp_extract("_div", _LEFT_RE, 1), F.lit("")).cast("int")
-    y = F.nullif(F.regexp_extract("_div", _TOP_RE, 1), F.lit("")).cast("int")
+    # instead of a silent 0 coordinate. Coordinates come from the style
+    # attribute only — a style-less div is unpositioned even if its text
+    # mentions 'left:99px'.
+    x = F.nullif(F.regexp_extract("_style", _LEFT_RE, 1),
+                 F.lit("")).cast("int")
+    y = F.nullif(F.regexp_extract("_style", _TOP_RE, 1),
+                 F.lit("")).cast("int")
     body = F.regexp_extract("_div", _BODY_RE, 1)
     text = F.trim(decode_entities(F.regexp_replace(body, _TAG_RE, "")))
     out = divs.select(*carried, "div_no", x.alias("x"), y.alias("y"),

@@ -227,6 +227,16 @@ def _pyzbar_qr_decode(pyzbar_mod, pil_image_mod, blob: bytes) -> str | None:
     return codes[0].data.decode("utf-8") if codes else None
 
 
+def _require_module_pair(pyzbar_module, image_module, caller: str) -> None:
+    """The detector/image module surfaces are a PAIR — injecting exactly
+    one is a caller error (a stub on one side with a silently-resolved
+    real library on the other would mix test and production surfaces)."""
+    if (pyzbar_module is None) != (image_module is None):
+        raise ValueError(
+            f"{caller}: inject pyzbar_module and image_module together "
+            "(the decode consumes both surfaces)")
+
+
 def extract_qr(blob: bytes, strict: bool = False,
                pyzbar_module=None, image_module=None) -> str | None:
     """Decode the QR payload of a page blob, or None when absent.
@@ -257,10 +267,7 @@ def extract_qr(blob: bytes, strict: bool = False,
     # libraries only when NEITHER is injected (injecting one stub while
     # the other silently resolves to a real library would mix test and
     # production surfaces); injecting exactly one is a caller error.
-    if (pyzbar_module is None) != (image_module is None):
-        raise ValueError(
-            "extract_qr: inject pyzbar_module and image_module together "
-            "(the decode consumes both surfaces)")
+    _require_module_pair(pyzbar_module, image_module, "extract_qr")
     if pyzbar_module is None and HAS_PYZBAR:  # pragma: no cover - real libs
         import io  # noqa: F401 (parity with the injected path)
         from PIL import Image as image_module
@@ -289,12 +296,9 @@ def decode_qr_media(df: DataFrame, ref_col: str = "media_ref",
     fail the stage after task retries. Configuration errors
     (NotImplementedError from a missing detector, mismatched injection)
     still fail loudly — those are operator mistakes, not data quality."""
-    if (pyzbar_module is None) != (image_module is None):
-        # mismatched injection is a caller error: fail at plan time,
-        # not per-row on executors (same rule as extract_qr)
-        raise ValueError(
-            "decode_qr_media: inject pyzbar_module and image_module "
-            "together (the decode consumes both surfaces)")
+    # mismatched injection is a caller error: fail at plan time,
+    # not per-row on executors (same rule as extract_qr)
+    _require_module_pair(pyzbar_module, image_module, "decode_qr_media")
 
     schema = T.StructType([
         T.StructField("media_ref", T.StringType(), False),

@@ -622,6 +622,14 @@ def test_png_rejects_corruption_loudly():
     with pytest.raises(ValueError, match="palette index"):
         png.decode_png(oob)
 
+    # CRC-valid IHDR with the wrong length must be ValueError too, not
+    # an escaping struct.error (which would dodge decode_qr_media's
+    # corrupt-blob skip and fail the whole stage)
+    short_ihdr = (png._SIGNATURE + chunk(b"IHDR", b"\x00" * 5)
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR length"):
+        png.decode_png(short_ihdr)
+
 
 def test_png_real_decode_through_strict_seam(spark):
     """decode_images(strict=True, image_module=PNG_IMAGE_MODULE) runs a

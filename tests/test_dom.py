@@ -59,6 +59,36 @@ def test_keep_unpositioned_yields_null_coords(spark):
     assert rows[4].text == "unpositioned trailer"
 
 
+def test_coords_come_from_style_attribute_only(spark):
+    """A div whose TEXT mentions 'left:99px' but whose style has no
+    left: must stay unpositioned (the reference reads div.get('style'),
+    api/util.py:2492) — body text can never position a span."""
+    page = ('<div style="position:absolute; top:5px;">'
+            "<span>margin left:99px</span></div>")
+    df = spark.createDataFrame([("d1", page)], "doc_id string, html string")
+    assert parse_html_divs(df).count() == 0  # no left: in style → skipped
+    row = parse_html_divs(df, keep_unpositioned=True).first()
+    assert row.x is None and row.y == 5
+    assert row.text == "margin left:99px"
+
+
+def test_carried_column_collision_raises(spark):
+    df = spark.createDataFrame([("d1", "t", "<div></div>")],
+                               "doc_id string, text string, html string")
+    import pytest
+    with pytest.raises(ValueError, match="collide"):
+        parse_html_divs(df)
+
+
+def test_encode_entities_inverts_decode(spark):
+    from angola_erp_ocr_spark.operators.dom import encode_entities
+    raw = "a&b <c> \"d\" 'e' &amp;"
+    got = (spark.range(1)
+           .select(decode_entities(encode_entities(F.lit(raw))).alias("t"))
+           .first().t)
+    assert got == raw
+
+
 def test_strip_dom_boilerplate_drops_furniture_and_empties(spark):
     out = strip_dom_boilerplate(_parse(spark)).orderBy("div_no").collect()
     # 'Pagina 1 de 1' (AVOID_RE page-number furniture) and the empty
