@@ -2652,10 +2652,13 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sandbox (I10's last gated leg; reference api/util.py:8007-8051 reads
     the AGT invoice QR via pyzbar over a PIL image). Per document a
     payload string is derived JVM-side ('QR-' || doc_id || '-' ||
-    md5(text)[:16]), encoded to a spec-conformant QR symbol
-    (functions/qr.py: byte mode, RS ECC over GF(256)) with per-doc
-    varied mask (doc_id%8), ECC level (L/M), module scale and 90-degree
-    rotation, rendered to PNG, then decoded through the STRICT
+    repeat(md5(text), 1 + doc_id%3) — 39 to ~103 bytes, so the sweep
+    spans single-block V2/V3 through MULTI-BLOCK V5-M and V6-M with
+    per-block RS over interleaved codewords), encoded to a
+    spec-conformant QR symbol (functions/qr.py: byte mode, RS ECC over
+    GF(256)) with per-doc varied mask (doc_id%8), ECC level (L/M),
+    module scale and 90-degree rotation, rendered to PNG, then decoded
+    through the STRICT
     ``decode_qr_media`` seam — finder-pattern detection, grid sampling,
     format-info BCH, de-masking, Reed-Solomon correction — using the
     same injected-module path real pyzbar takes. The decoded text is
@@ -2674,7 +2677,9 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(F.lit("QR-"), F.col("doc_id").cast("string"), F.lit("-"),
-                 F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 16)
+                 F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")),
+                          (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3)))
+                          .cast("int"))
                  ).alias("payload_text"))
     src = _widen_for_arrow(spark, src)
 
@@ -2704,7 +2709,8 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QR_REAL_ROUNDTRIP = """
 SELECT doc_id,
        'QR-' || CAST(doc_id AS VARCHAR) || '-'
-             || substr(md5(text), 1, 16) AS qr_text
+             || repeat(md5(text), CAST(1 + doc_id % 3 AS INTEGER))
+         AS qr_text
 FROM documents
 """
 

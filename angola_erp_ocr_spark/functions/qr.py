@@ -13,9 +13,11 @@ executors.
 
 Scope (declared, loudly enforced — never a silent mis-decode):
 
-- Versions 1-3 (21/25/29 modules), byte mode, the single-block
-  version x ECC-level combos (V1/V2 at L/M/Q/H, V3 at L/M); multi-block
-  interleaving (V3-Q/H, V4+) raises ``ValueError``.
+- Versions 1-6 (21-41 modules), byte mode, EVERY ECC level — including
+  the multi-block combos (V3-Q/H, V4-V6: per-block Reed-Solomon over
+  column-wise interleaved codewords, two-group shapes at V5-Q/H);
+  payload capacity up to 134 bytes (V6-L). V7+ (version-info blocks,
+  multi-alignment grids) raises ``ValueError``.
 - All 8 mask patterns, both format-info copies, BCH(15,5) format
   correction up to its design distance (<=3 bit errors).
 - Full Reed-Solomon error correction over GF(256) (poly 0x11d):
@@ -179,19 +181,67 @@ def rs_correct(codeword: list[int], n_ecc: int,
 
 
 # ---------------------------------------------------------------------------
-# QR tables (ISO/IEC 18004) — single-block version x ECC combos only
+# QR tables (ISO/IEC 18004) — versions 1-6, every ECC level
 # ---------------------------------------------------------------------------
 
-_TOTAL_CW = {1: 26, 2: 44, 3: 70}
-_ECC_CW = {(1, "L"): 7, (1, "M"): 10, (1, "Q"): 13, (1, "H"): 17,
-           (2, "L"): 10, (2, "M"): 16, (2, "Q"): 22, (2, "H"): 28,
-           (3, "L"): 15, (3, "M"): 26}
-# ISO error-correction capacity t per (version, ECL): (ecc - p) / 2 with
-# p misdecode-protection codewords reserved at low versions — V1-L has
-# 7 ecc but corrects only 2 (p=3), per the spec's capacity table
+_TOTAL_CW = {1: 26, 2: 44, 3: 70, 4: 100, 5: 134, 6: 172}
+# (version, ecl) -> (ecc codewords PER BLOCK, block groups) where groups
+# is ((n_blocks, data_cw_per_block), ...) — ISO 18004 table 9. V5-Q/H
+# are the two-group shapes (short blocks first, then one-longer blocks).
+# Versions <= 6 all share the single-alignment-pattern geometry and
+# 8-bit byte-mode counts, so _function_map/_base_matrix hold unchanged;
+# V7+ adds version-info blocks and more alignment patterns (out of
+# scope, loud ValueError via _TOTAL_CW).
+_BLOCK_STRUCT: dict[tuple[int, str], tuple[int, tuple[tuple[int, int], ...]]]
+_BLOCK_STRUCT = {
+    (1, "L"): (7, ((1, 19),)), (1, "M"): (10, ((1, 16),)),
+    (1, "Q"): (13, ((1, 13),)), (1, "H"): (17, ((1, 9),)),
+    (2, "L"): (10, ((1, 34),)), (2, "M"): (16, ((1, 28),)),
+    (2, "Q"): (22, ((1, 22),)), (2, "H"): (28, ((1, 16),)),
+    (3, "L"): (15, ((1, 55),)), (3, "M"): (26, ((1, 44),)),
+    (3, "Q"): (18, ((2, 17),)), (3, "H"): (22, ((2, 13),)),
+    (4, "L"): (20, ((1, 80),)), (4, "M"): (18, ((2, 32),)),
+    (4, "Q"): (26, ((2, 24),)), (4, "H"): (16, ((4, 9),)),
+    (5, "L"): (26, ((1, 108),)), (5, "M"): (24, ((2, 43),)),
+    (5, "Q"): (18, ((2, 15), (2, 16))), (5, "H"): (22, ((2, 11), (2, 12))),
+    (6, "L"): (18, ((2, 68),)), (6, "M"): (16, ((4, 27),)),
+    (6, "Q"): (24, ((4, 19),)), (6, "H"): (28, ((4, 15),)),
+}
+# ISO error-correction capacity t per (version, ECL), PER BLOCK:
+# (ecc_per_block - p) / 2 with p misdecode-protection codewords reserved
+# at low versions — V1-L has 7 ecc but corrects only 2 (p=3), per the
+# spec's capacity table; p = 0 from V2-M up except V2-L/V3-L.
 _T_CAP = {(1, "L"): 2, (1, "M"): 4, (1, "Q"): 6, (1, "H"): 8,
           (2, "L"): 4, (2, "M"): 8, (2, "Q"): 11, (2, "H"): 14,
-          (3, "L"): 7, (3, "M"): 13}
+          (3, "L"): 7, (3, "M"): 13, (3, "Q"): 9, (3, "H"): 11,
+          (4, "L"): 10, (4, "M"): 9, (4, "Q"): 13, (4, "H"): 8,
+          (5, "L"): 13, (5, "M"): 12, (5, "Q"): 9, (5, "H"): 11,
+          (6, "L"): 9, (6, "M"): 8, (6, "Q"): 12, (6, "H"): 14}
+
+
+def _block_lengths(version: int, ecl: str) -> tuple[int, list[int]]:
+    """(ecc_per_block, [data_cw_per_block in block order])."""
+    ec_pb, groups = _BLOCK_STRUCT[(version, ecl)]
+    return ec_pb, [d for n, d in groups for _ in range(n)]
+
+
+def _interleave(blocks: list[list[int]]) -> list[int]:
+    """Column-wise codeword interleave (ISO 8.6): codeword i of every
+    block in block order, blocks already exhausted skipped."""
+    out = []
+    for i in range(max(len(b) for b in blocks)):
+        out.extend(b[i] for b in blocks if i < len(b))
+    return out
+
+
+def _deinterleave(seq: list[int], lengths: list[int]) -> list[list[int]]:
+    blocks: list[list[int]] = [[] for _ in lengths]
+    it = iter(seq)
+    for i in range(max(lengths)):
+        for bi, ln in enumerate(lengths):
+            if i < ln:
+                blocks[bi].append(next(it))
+    return blocks
 _ECL_BITS = {"L": 1, "M": 0, "Q": 3, "H": 2}
 _BITS_ECL = {v: k for k, v in _ECL_BITS.items()}
 
@@ -202,7 +252,8 @@ def _size(version: int) -> int:
 
 def data_capacity(version: int, ecl: str) -> int:
     """Max byte-mode payload length (mode + 8-bit count overhead)."""
-    return _TOTAL_CW[version] - _ECC_CW[(version, ecl)] - 2
+    _, lengths = _block_lengths(version, ecl)
+    return sum(lengths) - 2
 
 
 def _function_map(size: int) -> np.ndarray:
@@ -307,16 +358,15 @@ def encode_qr_matrix(payload: bytes, version: int | None = None,
     if not 0 <= mask <= 7:
         raise ValueError("mask must be 0..7")
     if version is None:
-        version = next((v for v in (1, 2, 3) if (v, ecl) in _ECC_CW
-                        and len(payload) <= data_capacity(v, ecl)), None)
+        version = next((v for v in sorted(_TOTAL_CW)
+                        if len(payload) <= data_capacity(v, ecl)), None)
         if version is None:
             raise ValueError(f"payload too long for supported versions "
                              f"at ECC {ecl}")
-    if (version, ecl) not in _ECC_CW:
-        raise ValueError(f"unsupported (multi-block) combo: "
-                         f"V{version}-{ecl}")
-    n_ecc = _ECC_CW[(version, ecl)]
-    n_data = _TOTAL_CW[version] - n_ecc
+    if (version, ecl) not in _BLOCK_STRUCT:
+        raise ValueError(f"unsupported combo: V{version}-{ecl}")
+    ec_pb, lengths = _block_lengths(version, ecl)
+    n_data = sum(lengths)
     if len(payload) > n_data - 2:
         raise ValueError(f"payload {len(payload)}B > V{version}-{ecl} "
                          f"capacity {n_data - 2}B")
@@ -332,7 +382,14 @@ def encode_qr_matrix(payload: bytes, version: int | None = None,
     pad = (0xEC, 0x11)
     while len(data) < n_data:
         data.append(pad[(len(data) - len(bits) // 8) % 2])
-    codewords = data + rs_encode(data, n_ecc)
+    # split into RS blocks, ECC per block, column-wise interleave
+    # (ISO 8.6) — all data codewords first, then all ECC codewords
+    dblocks, pos = [], 0
+    for ln in lengths:
+        dblocks.append(data[pos:pos + ln])
+        pos += ln
+    eblocks = [rs_encode(b, ec_pb) for b in dblocks]
+    codewords = _interleave(dblocks) + _interleave(eblocks)
 
     size = _size(version)
     fm = _function_map(size)
@@ -469,18 +526,22 @@ def decode_qr_matrix(m: np.ndarray) -> bytes:
     if fmt is None:
         raise ValueError("format info unreadable (both copies)")
     ecl, mask = fmt
-    if (version, ecl) not in _ECC_CW:
-        raise ValueError(f"unsupported (multi-block) combo: "
-                         f"V{version}-{ecl}")
     fm = _function_map(size)
     coords = _data_coords(size, fm)
     bits = [int(m[r, c]) ^ int(_MASKS[mask](r, c)) for r, c in coords]
     total = _TOTAL_CW[version]
     codewords = [sum(bit << (7 - i) for i, bit in enumerate(bits[p:p + 8]))
                  for p in range(0, total * 8, 8)]
-    n_ecc = _ECC_CW[(version, ecl)]
-    data = rs_correct(codewords, n_ecc,
-                      max_errors=_T_CAP[(version, ecl)])[:total - n_ecc]
+    # de-interleave into RS blocks (reverse of ISO 8.6), correct each
+    # block independently, concatenate data in block order
+    ec_pb, lengths = _block_lengths(version, ecl)
+    n_data = sum(lengths)
+    dblocks = _deinterleave(codewords[:n_data], lengths)
+    eblocks = _deinterleave(codewords[n_data:], [ec_pb] * len(lengths))
+    t_cap = _T_CAP[(version, ecl)]
+    data = []
+    for db, eb in zip(dblocks, eblocks):
+        data += rs_correct(db + eb, ec_pb, max_errors=t_cap)[:len(db)]
     # parse byte-mode stream
     dbits = [(cw >> (7 - i)) & 1 for cw in data for i in range(8)]
     pos, out = 0, bytearray()

@@ -37,14 +37,24 @@ def test_rs_corrects_up_to_design_distance():
 
 
 def test_qr_matrix_roundtrip_every_combo_and_mask():
-    """Full-capacity payload through every supported single-block
-    version x ECC combo x all 8 masks; capacities cross-checked against
-    the published byte-mode table (V1-L=17, V2-M=26, V3-L=53)."""
+    """Full-capacity payload through every supported version x ECC
+    combo x all 8 masks — single-block AND multi-block (V3-Q/H, V4-V6,
+    including the V5-Q/H two-group shapes); capacities cross-checked
+    against the published byte-mode table (V1-L=17, V2-M=26, V3-L=53,
+    V4-H=34, V5-Q=60, V6-L=134)."""
     assert qr.data_capacity(1, "L") == 17
     assert qr.data_capacity(2, "M") == 26
     assert qr.data_capacity(3, "L") == 53
+    assert qr.data_capacity(4, "H") == 34
+    assert qr.data_capacity(5, "Q") == 60
+    assert qr.data_capacity(6, "L") == 134
+    # every block table row sums to the version's total codeword count
+    for (v, ecl), (ec_pb, groups) in qr._BLOCK_STRUCT.items():
+        n_blocks = sum(n for n, _ in groups)
+        assert (sum(n * d for n, d in groups) + n_blocks * ec_pb
+                == qr._TOTAL_CW[v]), (v, ecl)
     rng = np.random.RandomState(11)
-    for (v, ecl) in qr._ECC_CW:
+    for (v, ecl) in qr._BLOCK_STRUCT:
         payload = bytes(int(b) for b in
                         rng.randint(32, 127, qr.data_capacity(v, ecl)))
         for mask in range(8):
@@ -99,6 +109,33 @@ def test_qr_false_finder_clusters_do_not_block_detection():
         blob = qr.render_qr_png(p, ecl="L", mask=doc % 8, scale=2,
                                 border=4, rotate=doc % 4)
         assert qr.decode_qr_pixels(_gray(blob)) == p
+
+
+def test_qr_multiblock_pixels_and_burst_damage():
+    """Multi-block symbols decode from rendered pixels, and the
+    column-wise interleave does its spec job: a CONTIGUOUS burst of
+    corrupt codewords in transmission order spreads one-per-block, so
+    a burst longer than one block's own t still heals. V6-M (4 blocks,
+    t=8/block): a 24-codeword burst = 6 errors/block, recoverable;
+    a single-block layout of the same strength (t=8) would fail."""
+    payload = bytes(range(32, 32 + 100))                 # 100 B -> V6-M
+    m = qr.encode_qr_matrix(payload, version=6, ecl="M", mask=3)
+    assert qr.decode_qr_matrix(m) == payload
+    from angola_erp_ocr_spark.functions.png import encode_png
+    img = np.where(m, 0, 255).astype(np.uint8)
+    img = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+    img = np.pad(img, 8, constant_values=255)
+    assert qr.decode_qr_pixels(img) == payload           # detector leg
+
+    # burst: flip codewords 10..33 (interleaved order) via the zigzag
+    fm = qr._function_map(m.shape[0])
+    coords = qr._data_coords(m.shape[0], fm)
+    m2 = m.copy()
+    for cw_i in range(10, 34):
+        for bit_i in range(3):                           # 3 bits/cw wrong
+            r, c = coords[cw_i * 8 + bit_i]
+            m2[r, c] = not m2[r, c]
+    assert qr.decode_qr_matrix(m2) == payload
 
 
 def test_qr_format_info_matches_iso_vector_and_reader_layout():
@@ -197,15 +234,17 @@ def test_certification_queries_are_not_split_starved(spark):
 
 def test_qr_unsupported_inputs_fail_loudly():
     """Out-of-envelope inputs raise, never mis-decode: payload over
-    capacity, multi-block combos (V3-Q), bad mask id."""
+    capacity, V7+ (version-info blocks), bad mask id."""
     with pytest.raises(ValueError, match="capacity|too long"):
-        qr.encode_qr_matrix(b"x" * 54, ecl="L")          # V3-L caps at 53
-    with pytest.raises(ValueError, match="multi-block"):
-        qr.encode_qr_matrix(b"x" * 10, version=3, ecl="Q")
+        qr.encode_qr_matrix(b"x" * 135, ecl="L")         # V6-L caps at 134
+    with pytest.raises(ValueError, match="combo"):
+        qr.encode_qr_matrix(b"x" * 10, version=7, ecl="L")
     with pytest.raises(ValueError, match="mask"):
         qr.encode_qr_matrix(b"x", mask=8)
     with pytest.raises(ValueError, match="module grid"):
         qr.decode_qr_matrix(np.zeros((20, 20), dtype=bool))
+    with pytest.raises(ValueError, match="version"):
+        qr.decode_qr_matrix(np.zeros((45, 45), dtype=bool))  # V7 grid
 
 
 def test_real_qr_decode_through_strict_seam(spark):
