@@ -2652,9 +2652,11 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sandbox (I10's last gated leg; reference api/util.py:8007-8051 reads
     the AGT invoice QR via pyzbar over a PIL image). Per document a
     payload string is derived JVM-side ('QR-' || doc_id || '-' ||
-    repeat(md5(text), 1 + doc_id%3) — 39 to ~103 bytes, so the sweep
-    spans single-block V2/V3 through MULTI-BLOCK V5-M and V6-M with
-    per-block RS over interleaved codewords), encoded to a
+    repeat(md5(text), 1 + doc_id%3), capped at 100 bytes — 39 to 100
+    bytes at this corpus, so the sweep spans single-block V2/V3 through
+    MULTI-BLOCK V5-M and V6-M with per-block RS over interleaved
+    codewords, and the cap keeps any doc_id width inside V6-M's 106-byte
+    capacity), encoded to a
     spec-conformant QR symbol (functions/qr.py: byte mode, RS ECC over
     GF(256)) with per-doc varied mask (doc_id%8), ECC level (L/M),
     module scale and 90-degree rotation, rendered to PNG, then decoded
@@ -2667,20 +2669,25 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless per row — at 100 TB the parquet scan's own splits feed it
     in parallel with no shuffle; the test tables are single-row-group
     files (one split), so an explicit round-robin repartition of the
-    tiny (doc_id, 40-char payload) rows keeps the Arrow stage parallel
+    tiny (doc_id, <=100-char payload) rows keeps the Arrow stage parallel
     here too (measured: 116 s single-task vs ~4 s on 32 at sf0.1)."""
     from angola_erp_ocr_spark.functions.png import PNG_IMAGE_MODULE
     from angola_erp_ocr_spark.functions.qr import (QR_DETECTOR_MODULE,
                                                    render_qr_png)
     from angola_erp_ocr_spark.operators.multimodal import decode_qr_media
 
+    # substring cap at 100 B: the 'M' rows must fit V6-M's 106 B for ANY
+    # doc_id width (a 19-digit id plus 3x md5 would overflow otherwise —
+    # the kernel must never raise on a bigger corpus's ids)
     src = _docs(spark, sf_dir).select(
         "doc_id",
-        F.concat(F.lit("QR-"), F.col("doc_id").cast("string"), F.lit("-"),
-                 F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")),
-                          (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3)))
-                          .cast("int"))
-                 ).alias("payload_text"))
+        F.substring(
+            F.concat(F.lit("QR-"), F.col("doc_id").cast("string"),
+                     F.lit("-"),
+                     F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")),
+                              (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3)))
+                              .cast("int"))),
+            1, 100).alias("payload_text"))
     src = _widen_for_arrow(spark, src)
 
     def to_qr_png(batches):
@@ -2708,9 +2715,9 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QR_REAL_ROUNDTRIP = """
 SELECT doc_id,
-       'QR-' || CAST(doc_id AS VARCHAR) || '-'
-             || repeat(md5(text), CAST(1 + doc_id % 3 AS INTEGER))
-         AS qr_text
+       substr('QR-' || CAST(doc_id AS VARCHAR) || '-'
+              || repeat(md5(text), CAST(1 + doc_id % 3 AS INTEGER)),
+              1, 100) AS qr_text
 FROM documents
 """
 

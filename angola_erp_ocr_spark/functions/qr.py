@@ -357,6 +357,9 @@ def encode_qr_matrix(payload: bytes, version: int | None = None,
         payload = payload.encode("utf-8")
     if not 0 <= mask <= 7:
         raise ValueError("mask must be 0..7")
+    if ecl not in _ECL_BITS:
+        # guard before the table lookups: every rejection is ValueError
+        raise ValueError(f"unknown ECC level {ecl!r} (expected L/M/Q/H)")
     if version is None:
         version = next((v for v in sorted(_TOTAL_CW)
                         if len(payload) <= data_capacity(v, ecl)), None)
@@ -481,8 +484,14 @@ def _finder_centers(
             cy = float(vstarts[ri] + (vlens[ri] - 1) / 2.0)
             mod = (m + vm) / 2.0
             for cl in clusters:
+                # merge gate includes MODULE similarity: data-pattern
+                # hits landing near a true finder carry a different run
+                # module, and mean-merging them drags the cluster center
+                # off the finder (observed: V5-M mask-3 scale-3 rot-3
+                # symbols whose dragged TL center broke grid sampling)
                 if (cl[4] == pol and abs(cl[0] - cx) < 3 * mod
-                        and abs(cl[1] - cy) < 3 * mod):
+                        and abs(cl[1] - cy) < 3 * mod
+                        and abs(cl[2] - mod) < 0.3 * cl[2]):
                     k = cl[3]
                     cl[0] = (cl[0] * k + cx) / (k + 1)
                     cl[1] = (cl[1] * k + cy) / (k + 1)

@@ -121,7 +121,6 @@ def test_qr_multiblock_pixels_and_burst_damage():
     payload = bytes(range(32, 32 + 100))                 # 100 B -> V6-M
     m = qr.encode_qr_matrix(payload, version=6, ecl="M", mask=3)
     assert qr.decode_qr_matrix(m) == payload
-    from angola_erp_ocr_spark.functions.png import encode_png
     img = np.where(m, 0, 255).astype(np.uint8)
     img = np.kron(img, np.ones((2, 2), dtype=np.uint8))
     img = np.pad(img, 8, constant_values=255)
@@ -136,6 +135,18 @@ def test_qr_multiblock_pixels_and_burst_damage():
             r, c = coords[cw_i * 8 + bit_i]
             m2[r, c] = not m2[r, c]
     assert qr.decode_qr_matrix(m2) == payload
+
+
+def test_qr_cluster_merge_is_module_gated():
+    """Regression: this V5-M mask-3 scale-3 rot-3 symbol's data pattern
+    produces finder-shaped runs NEXT TO the true top-left finder with a
+    DIFFERENT module estimate; without the module-similarity gate on
+    cluster merge they mean-drag the finder center ~3 px off and grid
+    sampling fails (found by the 500-doc oracle sweep, doc 115)."""
+    p = (b"QR-115-c3c7d17d7aaddb2d07b10e6898b12c44"
+         b"c3c7d17d7aaddb2d07b10e6898b12c44")
+    blob = qr.render_qr_png(p, ecl="M", mask=3, scale=3, border=4, rotate=3)
+    assert qr.decode_qr_pixels(_gray(blob)) == p
 
 
 def test_qr_format_info_matches_iso_vector_and_reader_layout():
@@ -241,6 +252,8 @@ def test_qr_unsupported_inputs_fail_loudly():
         qr.encode_qr_matrix(b"x" * 10, version=7, ecl="L")
     with pytest.raises(ValueError, match="mask"):
         qr.encode_qr_matrix(b"x", mask=8)
+    with pytest.raises(ValueError, match="ECC level"):
+        qr.encode_qr_matrix(b"x", ecl="X")   # KeyError would be a break
     with pytest.raises(ValueError, match="module grid"):
         qr.decode_qr_matrix(np.zeros((20, 20), dtype=bool))
     with pytest.raises(ValueError, match="version"):
