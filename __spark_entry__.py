@@ -1824,6 +1824,10 @@ _DEPRIORITIZED = [
     # already in-window (L1–L14); this sits below the window to leave the
     # driver's 50 stable and is locally oracle-checked like the rest
     "html_dom_spans",
+    # html_items_extract: the pdf_scrape_txt HTML->items composition
+    # (DOM -> L1 -> L4 -> L2); every stage is separately in-window
+    # already, so the end-to-end certification sits below the window
+    "html_items_extract",
 ]
 # The driver validates list(queries())[:50]. The window composition is
 # committed as DRIVER_WINDOW.md (regenerate: python tools/write_window.py)
@@ -2796,6 +2800,90 @@ WHERE NOT regexp_matches(upper(text), '{AVOID_RE}')
 
 _QUERIES["html_dom_spans"] = q_html_dom_spans
 _ORACLES["html_dom_spans"] = SQL_HTML_DOM_SPANS
+
+
+def q_html_items_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `pdf_scrape_txt` flow END-TO-END over real HTML —
+    its second extraction path runs entirely on pdfminer HTML divs
+    (api/util.py:2394-2964: .//div walk → `left:(\\d+)px` → hard-coded
+    x-range column template → zip parallel lists into item rows). Here:
+    pdfminer-shaped HTML (4 item rows x 5 positioned cells per doc, at
+    x-coordinates inside the reference's EXACT template ranges
+    ID(40,50) DESC(65,80) QTY(320,350) RATE(400,450) TOTAL(449,550),
+    api/util.py:2400-2445; plus boilerplate + empty-anchor furniture)
+    is parsed by the DOM operator, boilerplate-stripped, column-bucketed
+    (L1 fixed template), row-clustered by y-gap (L4), and pivoted to
+    item rows (L2) — the full DOM→L1→L4→L2 composition in ONE physical
+    exchange: the row window's hashpartitioning(doc_id) also satisfies
+    the pivot's (doc_id, row_id) clustering, so EnsureRequirements adds
+    no second shuffle (verified with .explain). The oracle
+    recomputes the items straight from doc arithmetic: a hash match
+    proves the whole HTML-to-items path."""
+    from angola_erp_ocr_spark.operators.dom import (parse_html_divs,
+                                                    strip_dom_boilerplate)
+    from angola_erp_ocr_spark.operators.layout import (bucket_columns_fixed,
+                                                       cluster_rows_by_gap,
+                                                       pivot_rows)
+
+    did = F.col("doc_id")
+
+    def cell(x: int, y_expr, text_expr):
+        return F.concat(
+            F.lit('<div style="position:absolute; border: textbox 1px '
+                  f'solid; writing-mode:lr-tb; left:{x}px; top:'),
+            y_expr.cast("string"),
+            F.lit('px; width:60px; height:12px;"><span>'),
+            text_expr.cast("string"), F.lit("</span><br></div>"))
+
+    def row_divs(r: int):
+        y = F.lit(300 + 18 * r)
+        qty = F.lit(1) + F.pmod(did + r, F.lit(9))
+        rate = F.lit(100) + F.pmod(did * 7 + r, F.lit(900))
+        return F.concat(
+            cell(42, y, F.lit(r + 1)),
+            cell(70, y, F.concat(F.lit("SERVICO "),
+                                 F.pmod(did + r, F.lit(50)).cast("string"))),
+            cell(330, y, qty),
+            cell(410, y, rate),
+            cell(470, y, qty * rate))
+
+    html = F.concat(
+        F.lit('<div style="position:absolute; left:0px; top:980px;">'
+              "<span>Pagina 1 de 1</span><br></div>"),
+        F.lit('<div style="position:absolute; left:0px; top:0px;"></div>'),
+        *[row_divs(r) for r in range(4)])
+    pages = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    cells = strip_dom_boilerplate(parse_html_divs(pages))
+    cells = bucket_columns_fixed(cells, [
+        ("ITEM", 40, 50), ("DESCRIPTION", 65, 80), ("QUANTITY", 320, 350),
+        ("RATE", 400, 450), ("TOTAL", 449, 550)])
+    cells = cluster_rows_by_gap(cells, ["doc_id"], "y", 10.0)
+    items = pivot_rows(cells.select("doc_id", "row_id", "col_id", "text"),
+                       ["doc_id"],
+                       ["ITEM", "DESCRIPTION", "QUANTITY", "RATE", "TOTAL"])
+    return items.select(
+        "doc_id",
+        F.col("ITEM").cast("int").alias("item"),
+        F.col("DESCRIPTION").alias("description"),
+        F.col("QUANTITY").cast("int").alias("qty"),
+        F.col("RATE").cast("int").alias("rate"),
+        F.col("TOTAL").cast("int").alias("total"))
+
+
+SQL_HTML_ITEMS_EXTRACT = """
+WITH u AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS r FROM documents)
+SELECT doc_id,
+       CAST(r + 1 AS INTEGER) AS item,
+       'SERVICO ' || CAST((doc_id + r) % 50 AS VARCHAR) AS description,
+       CAST(1 + (doc_id + r) % 9 AS INTEGER) AS qty,
+       CAST(100 + (doc_id * 7 + r) % 900 AS INTEGER) AS rate,
+       CAST((1 + (doc_id + r) % 9)
+            * (100 + (doc_id * 7 + r) % 900) AS INTEGER) AS total
+FROM u
+"""
+
+_QUERIES["html_items_extract"] = q_html_items_extract
+_ORACLES["html_items_extract"] = SQL_HTML_ITEMS_EXTRACT
 
 
 def q_k4_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
