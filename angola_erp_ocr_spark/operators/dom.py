@@ -98,9 +98,13 @@ def parse_html_divs(df: DataFrame, html_col: str = "html",
             f"parse_html_divs output columns collide with input columns "
             f"{sorted(clash)}; rename or drop them (the documents table's "
             f"own 'text' is the usual culprit)")
+    # plain posexplode (not _outer): a page with zero divs parses to
+    # zero span rows, never a fabricated all-null row — callers that
+    # must retain empty docs (resume bookkeeping) left-join back on the
+    # carried keys
     divs = df.select(
         *carried,
-        F.posexplode_outer(
+        F.posexplode(
             F.regexp_extract_all(F.col(html_col), F.lit(_DIV_RE), F.lit(0))
         ).alias("div_no", "_div"),
     ).withColumn("_style", F.regexp_extract("_div", _STYLE_RE, 1))

@@ -94,3 +94,49 @@ def test_strip_dom_boilerplate_drops_furniture_and_empties(spark):
     # 'Pagina 1 de 1' (AVOID_RE page-number furniture) and the empty
     # anchor are gone; content divs survive
     assert [r.div_no for r in out] == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Property: arbitrary div soups render->parse exactly against a pure-Python
+# reference (positions from style only, text_content semantics, entities)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_TXT = st.text(alphabet="ab &<>\"'9;px:left", min_size=0, max_size=18)
+
+
+def _esc(s: str) -> str:
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                    ('"', "&quot;"), ("'", "&#39;")):
+        s = s.replace(ch, ent)
+    return s
+
+
+_DIV = st.tuples(
+    st.one_of(st.none(), st.integers(0, 999)),     # x (None = no left:)
+    st.integers(0, 999),                            # y
+    _TXT,                                           # raw text
+    st.booleans(),                                  # wrap in <span>...</span>
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DIV, min_size=0, max_size=12))
+def test_parse_html_divs_matches_python_reference(spark, divs):
+    html, want = [], []
+    for i, (x, y, raw, span) in enumerate(divs):
+        style = ("position:absolute; " +
+                 (f"left:{x}px; " if x is not None else "") + f"top:{y}px;")
+        body = f"<span>{_esc(raw)}</span><br>" if span else _esc(raw)
+        html.append(f'<div style="{style}">{body}</div>')
+        want.append((i, x, y if x is not None else y, raw.strip()))
+    df = spark.createDataFrame([("d", "".join(html))],
+                               "doc_id string, html string")
+    got = [(r.div_no, r.x, r.y, r.text)
+           for r in parse_html_divs(df, keep_unpositioned=True)
+           .orderBy("div_no").collect()]
+    assert got == want
+    kept = [(r.div_no, r.x) for r in parse_html_divs(df)
+            .orderBy("div_no").collect()]
+    assert kept == [(i, x) for i, x, _, _ in want if x is not None]

@@ -280,3 +280,40 @@ def test_real_qr_decode_through_strict_seam(spark):
         image_module=PNG_IMAGE_MODULE)
     got = {r["media_ref"]: r["qr_text"] for r in out.collect()}
     assert got == payloads
+
+
+# ---------------------------------------------------------------------------
+# Property: arbitrary payload x ECL x mask roundtrips at the matrix level
+# (hypothesis; version auto-picked 1-6, so every block shape gets hit)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ECL_CAP = {"L": 134, "M": 106, "Q": 74, "H": 58}  # V6 capacities
+
+
+@st.composite
+def _qr_case(draw):
+    ecl = draw(st.sampled_from("LMQH"))
+    payload = draw(st.binary(min_size=0, max_size=_ECL_CAP[ecl]))
+    mask = draw(st.integers(0, 7))
+    return payload, ecl, mask
+
+
+@settings(max_examples=40, deadline=None)
+@given(_qr_case())
+def test_qr_matrix_roundtrip_property(case):
+    payload, ecl, mask = case
+    m = qr.encode_qr_matrix(payload, ecl=ecl, mask=mask)
+    assert qr.decode_qr_matrix(m) == payload
+    # one corrupted ECC codeword (block 0, always <= its t) still heals
+    version = (m.shape[0] - 17) // 4
+    _, lengths = qr._block_lengths(version, ecl)
+    fm = qr._function_map(m.shape[0])
+    coords = qr._data_coords(m.shape[0], fm)
+    cw = sum(lengths)                       # first interleaved ECC codeword
+    m2 = m.copy()
+    for b in range(8):
+        r, c = coords[cw * 8 + b]
+        m2[r, c] = not m2[r, c]
+    assert qr.decode_qr_matrix(m2) == payload
