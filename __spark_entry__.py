@@ -2661,9 +2661,14 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     MULTI-BLOCK V5-M and V6-M with per-block RS over interleaved
     codewords, and the cap keeps any doc_id width inside V6-M's 106-byte
     capacity), encoded to a
-    spec-conformant QR symbol (functions/qr.py: byte mode, RS ECC over
-    GF(256)) with per-doc varied mask (doc_id%8), ECC level (L/M),
-    module scale and 90-degree rotation, rendered to PNG, then decoded
+    spec-conformant QR symbol (functions/qr.py: RS ECC over GF(256))
+    with per-doc varied mask (doc_id%8), ECC level (L/M), module scale
+    and 90-degree rotation — and per-doc varied SEGMENT MODE: doc_id%3
+    picks a lowercase-hex payload (byte mode), an uppercased one
+    (alphanumeric mode, the charset real AGT portal URLs sit in) or a
+    digits-only one (numeric mode), auto-selected by the encoder's
+    charset rule, so all three ISO 18004 segment packings are
+    oracle-certified — rendered to PNG, then decoded
     through the STRICT
     ``decode_qr_media`` seam — finder-pattern detection, grid sampling,
     format-info BCH, de-masking, Reed-Solomon correction — using the
@@ -2682,16 +2687,22 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # substring cap at 100 B: the 'M' rows must fit V6-M's 106 B for ANY
     # doc_id width (a 19-digit id plus 3x md5 would overflow otherwise —
-    # the kernel must never raise on a bigger corpus's ids)
+    # the kernel must never raise on a bigger corpus's ids); the denser
+    # numeric/alnum packings only gain capacity, so the cap holds for
+    # every mode branch
+    rep = F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")),
+                   (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3)))
+                   .cast("int"))
+    base = F.concat(F.lit("QR-"), F.col("doc_id").cast("string"),
+                    F.lit("-"), rep)
+    msel = F.pmod(F.col("doc_id"), F.lit(3))
+    payload = (F.when(msel == 1, F.upper(base))
+                .when(msel == 2,
+                      F.concat(F.col("doc_id").cast("string"),
+                               F.translate(rep, "abcdef", "012345")))
+                .otherwise(base))
     src = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.substring(
-            F.concat(F.lit("QR-"), F.col("doc_id").cast("string"),
-                     F.lit("-"),
-                     F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")),
-                              (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3)))
-                              .cast("int"))),
-            1, 100).alias("payload_text"))
+        "doc_id", F.substring(payload, 1, 100).alias("payload_text"))
     src = _widen_for_arrow(spark, src)
 
     def to_qr_png(batches):
@@ -2719,10 +2730,18 @@ def q_qr_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QR_REAL_ROUNDTRIP = """
 SELECT doc_id,
-       substr('QR-' || CAST(doc_id AS VARCHAR) || '-'
-              || repeat(md5(text), CAST(1 + doc_id % 3 AS INTEGER)),
-              1, 100) AS qr_text
-FROM documents
+       substr(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 1 THEN upper(base)
+                WHEN 2 THEN CAST(doc_id AS VARCHAR)
+                            || translate(rep, 'abcdef', '012345')
+                ELSE base
+              END, 1, 100) AS qr_text
+FROM (SELECT doc_id,
+             'QR-' || CAST(doc_id AS VARCHAR) || '-'
+                   || repeat(md5(text), CAST(1 + doc_id % 3 AS INTEGER))
+                 AS base,
+             repeat(md5(text), CAST(1 + doc_id % 3 AS INTEGER)) AS rep
+      FROM documents)
 """
 
 _QUERIES["qr_real_roundtrip"] = q_qr_real_roundtrip

@@ -13,7 +13,11 @@ executors.
 
 Scope (declared, loudly enforced — never a silent mis-decode):
 
-- Versions 1-6 (21-41 modules), byte mode, EVERY ECC level — including
+- Versions 1-6 (21-41 modules), numeric + alphanumeric + byte modes
+  (auto-selected on encode from the payload charset, parsed as
+  sequential segments on decode — real AGT portal QRs put the
+  uppercase URL in an alphanumeric segment and document numbers in
+  numeric ones), EVERY ECC level — including
   the multi-block combos (V3-Q/H, V4-V6: per-block Reed-Solomon over
   column-wise interleaved codewords, two-group shapes at V5-Q/H);
   payload capacity up to 134 bytes (V6-L). V7+ (version-info blocks,
@@ -245,15 +249,33 @@ def _deinterleave(seq: list[int], lengths: list[int]) -> list[list[int]]:
 _ECL_BITS = {"L": 1, "M": 0, "Q": 3, "H": 2}
 _BITS_ECL = {v: k for k, v in _ECL_BITS.items()}
 
+# Segment modes (ISO 18004 8.4) and their count-field widths at V1-9.
+# Versions <= 6 all sit in the V1-9 count-width class, so the widths
+# are constants here; V10+ widths differ but V7+ already raises.
+MODE_NUMERIC, MODE_ALNUM, MODE_BYTE = 1, 2, 4
+_COUNT_BITS = {MODE_NUMERIC: 10, MODE_ALNUM: 9, MODE_BYTE: 8}
+_ALNUM = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ $%*+-./:"
+_ALNUM_INV = {c: i for i, c in enumerate(_ALNUM)}
+
 
 def _size(version: int) -> int:
     return 17 + 4 * version
 
 
-def data_capacity(version: int, ecl: str) -> int:
-    """Max byte-mode payload length (mode + 8-bit count overhead)."""
+def data_capacity(version: int, ecl: str, mode: int = MODE_BYTE) -> int:
+    """Max single-segment payload length (chars for numeric/alnum,
+    bytes for byte mode) after the 4-bit mode + count-field overhead —
+    matches the published per-mode capacity table (e.g. V1-L: 41
+    numeric / 25 alnum / 17 byte; V6-L: 322 / 195 / 134)."""
     _, lengths = _block_lengths(version, ecl)
-    return sum(lengths) - 2
+    bits = sum(lengths) * 8 - 4 - _COUNT_BITS[mode]
+    if mode == MODE_BYTE:
+        return bits // 8
+    if mode == MODE_ALNUM:
+        pairs, rem = divmod(bits, 11)
+        return pairs * 2 + (1 if rem >= 6 else 0)
+    groups, rem = divmod(bits, 10)
+    return groups * 3 + (2 if rem >= 7 else 1 if rem >= 4 else 0)
 
 
 def _function_map(size: int) -> np.ndarray:
@@ -350,19 +372,97 @@ _MASKS = [
 # Encode: payload -> module matrix -> PNG render
 # ---------------------------------------------------------------------------
 
-def encode_qr_matrix(payload: bytes, version: int | None = None,
-                     ecl: str = "L", mask: int = 0) -> np.ndarray:
-    """Byte-mode QR module matrix (bool, True = dark)."""
-    if isinstance(payload, str):
-        payload = payload.encode("utf-8")
+def _put(v: int, n: int) -> list[int]:
+    return [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+
+def choose_mode(payload: bytes) -> int:
+    """Densest applicable segment mode for ``payload`` (the standard
+    single-segment encoder policy): all-digits -> numeric (10/3 bits
+    per char), alphanumeric-charset -> alnum (11/2), else byte (8)."""
+    try:
+        s = payload.decode("ascii")
+    except UnicodeDecodeError:
+        return MODE_BYTE
+    if s and all("0" <= c <= "9" for c in s):
+        return MODE_NUMERIC
+    if s and all(c in _ALNUM_INV for c in s):
+        return MODE_ALNUM
+    return MODE_BYTE
+
+
+def _segment_bits(payload: bytes, mode: int) -> list[int]:
+    """Mode indicator + count field + payload bits for one segment
+    (ISO 18004 8.4.2-8.4.4)."""
+    if mode not in _COUNT_BITS:
+        raise ValueError(f"unsupported QR segment mode {mode}")
+    bits = _put(mode, 4)
+    if mode == MODE_BYTE:
+        bits += _put(len(payload), 8)
+        for b in payload:
+            bits += _put(b, 8)
+        return bits
+    try:
+        s = payload.decode("ascii")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"mode {mode} payload must be ASCII") from exc
+    want = MODE_NUMERIC if mode == MODE_NUMERIC else MODE_ALNUM
+    ok = (all("0" <= c <= "9" for c in s) if want == MODE_NUMERIC
+          else all(c in _ALNUM_INV for c in s))
+    if not ok:
+        raise ValueError(f"payload charset does not fit mode {mode}")
+    bits += _put(len(s), _COUNT_BITS[mode])
+    if mode == MODE_ALNUM:
+        for i in range(0, len(s) - 1, 2):
+            bits += _put(_ALNUM_INV[s[i]] * 45 + _ALNUM_INV[s[i + 1]], 11)
+        if len(s) % 2:
+            bits += _put(_ALNUM_INV[s[-1]], 6)
+        return bits
+    # numeric: 3 digits -> 10 bits, tail 2 -> 7, tail 1 -> 4
+    full = len(s) - len(s) % 3
+    for i in range(0, full, 3):
+        bits += _put(int(s[i:i + 3]), 10)
+    if len(s) - full == 2:
+        bits += _put(int(s[full:]), 7)
+    elif len(s) - full == 1:
+        bits += _put(int(s[full:]), 4)
+    return bits
+
+
+def encode_qr_matrix(payload: bytes = b"", version: int | None = None,
+                     ecl: str = "L", mask: int = 0,
+                     mode: int | None = None,
+                     segments: list[tuple[bytes, int]] | None = None
+                     ) -> np.ndarray:
+    """QR module matrix (bool, True = dark). ``mode`` defaults to the
+    densest segment mode the payload charset admits (choose_mode);
+    passing ``MODE_BYTE`` forces byte encoding of any payload.
+    ``segments`` replaces (payload, mode) with an explicit
+    [(payload, mode), ...] multi-segment stream — the shape real AGT
+    invoice symbols use (alnum URL + numeric document number)."""
     if not 0 <= mask <= 7:
         raise ValueError("mask must be 0..7")
     if ecl not in _ECL_BITS:
         # guard before the table lookups: every rejection is ValueError
         raise ValueError(f"unknown ECC level {ecl!r} (expected L/M/Q/H)")
+    if segments is None:
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        if mode is None:
+            mode = choose_mode(payload)
+        elif mode != MODE_BYTE and mode != choose_mode(payload):
+            raise ValueError(f"payload charset does not fit mode {mode}")
+        segments = [(payload, mode)]
+    seg: list[int] = []
+    for p, md in segments:
+        seg += _segment_bits(p.encode("utf-8") if isinstance(p, str)
+                             else p, md)
+    payload = b"".join(p.encode("utf-8") if isinstance(p, str) else p
+                       for p, _ in segments)
     if version is None:
-        version = next((v for v in sorted(_TOTAL_CW)
-                        if len(payload) <= data_capacity(v, ecl)), None)
+        version = next(
+            (v for v in sorted(_TOTAL_CW)
+             if len(seg) <= sum(_block_lengths(v, ecl)[1]) * 8), None)
         if version is None:
             raise ValueError(f"payload too long for supported versions "
                              f"at ECC {ecl}")
@@ -370,14 +470,11 @@ def encode_qr_matrix(payload: bytes, version: int | None = None,
         raise ValueError(f"unsupported combo: V{version}-{ecl}")
     ec_pb, lengths = _block_lengths(version, ecl)
     n_data = sum(lengths)
-    if len(payload) > n_data - 2:
-        raise ValueError(f"payload {len(payload)}B > V{version}-{ecl} "
-                         f"capacity {n_data - 2}B")
-    # bitstream: mode 0100, 8-bit count, data, terminator, pad bytes
-    bits = [0, 1, 0, 0]
-    bits += [(len(payload) >> i) & 1 for i in range(7, -1, -1)]
-    for b in payload:
-        bits += [(b >> i) & 1 for i in range(7, -1, -1)]
+    if len(seg) > n_data * 8:
+        raise ValueError(f"payload {len(payload)}B (mode {mode}) > "
+                         f"V{version}-{ecl} capacity")
+    # bitstream: segment, terminator, pad bytes
+    bits = list(seg)
     bits += [0] * min(4, n_data * 8 - len(bits))
     bits += [0] * (-len(bits) % 8)
     data = [sum(bit << (7 - i) for i, bit in enumerate(bits[p:p + 8]))
@@ -551,24 +648,58 @@ def decode_qr_matrix(m: np.ndarray) -> bytes:
     data = []
     for db, eb in zip(dblocks, eblocks):
         data += rs_correct(db + eb, ec_pb, max_errors=t_cap)[:len(db)]
-    # parse byte-mode stream
+    # parse the segment stream: numeric / alphanumeric / byte segments
+    # in sequence until the terminator (ISO 18004 8.4) — out-of-range
+    # group values and overruns raise, never mis-decode
     dbits = [(cw >> (7 - i)) & 1 for cw in data for i in range(8)]
     pos, out = 0, bytearray()
+
+    def take(n: int) -> int:
+        nonlocal pos
+        if pos + n > len(dbits):
+            raise ValueError("QR segment overruns data")
+        v = sum(b << (n - 1 - i) for i, b in enumerate(dbits[pos:pos + n]))
+        pos += n
+        return v
+
     while pos + 4 <= len(dbits):
-        mode = sum(b << (3 - i) for i, b in enumerate(dbits[pos:pos + 4]))
-        pos += 4
+        mode = take(4)
         if mode == 0:
             break
-        if mode != 4:
+        if mode not in _COUNT_BITS:
             raise ValueError(f"unsupported QR mode {mode:04b}")
-        cnt = sum(b << (7 - i) for i, b in enumerate(dbits[pos:pos + 8]))
-        pos += 8
-        if pos + 8 * cnt > len(dbits):
-            raise ValueError("byte-mode segment overruns data")
-        for _ in range(cnt):
-            out.append(sum(b << (7 - i)
-                           for i, b in enumerate(dbits[pos:pos + 8])))
-            pos += 8
+        cnt = take(_COUNT_BITS[mode])
+        if mode == MODE_BYTE:
+            for _ in range(cnt):
+                out.append(take(8))
+        elif mode == MODE_ALNUM:
+            for _ in range(cnt // 2):
+                v = take(11)
+                if v >= 45 * 45:
+                    raise ValueError("alphanumeric pair out of range")
+                out += (_ALNUM[v // 45] + _ALNUM[v % 45]).encode("ascii")
+            if cnt % 2:
+                v = take(6)
+                if v >= 45:
+                    raise ValueError("alphanumeric tail out of range")
+                out += _ALNUM[v].encode("ascii")
+        else:  # MODE_NUMERIC
+            for _ in range(cnt // 3):
+                v = take(10)
+                if v >= 1000:
+                    raise ValueError("numeric group out of range")
+                out += b"%03d" % v
+            rem = cnt % 3
+            if rem == 2:
+                v = take(7)
+                if v >= 100:
+                    raise ValueError("numeric tail out of range")
+                out += b"%02d" % v
+            elif rem == 1:
+                v = take(4)
+                if v >= 10:
+                    raise ValueError("numeric tail out of range")
+                out += b"%d" % v
     return bytes(out)
 
 

@@ -282,6 +282,122 @@ def test_real_qr_decode_through_strict_seam(spark):
     assert got == payloads
 
 
+def test_qr_segment_mode_capacities_match_published_table():
+    """Per-mode capacities pinned against the published ISO capacity
+    table (denser modes hold more chars in the same symbol): V1-L
+    41/25/17, V2-M 63/38/26, V6-L 322/195/134 numeric/alnum/byte."""
+    assert qr.data_capacity(1, "L", qr.MODE_NUMERIC) == 41
+    assert qr.data_capacity(1, "L", qr.MODE_ALNUM) == 25
+    assert qr.data_capacity(1, "L", qr.MODE_BYTE) == 17
+    assert qr.data_capacity(2, "M", qr.MODE_NUMERIC) == 63
+    assert qr.data_capacity(2, "M", qr.MODE_ALNUM) == 38
+    assert qr.data_capacity(6, "L", qr.MODE_NUMERIC) == 322
+    assert qr.data_capacity(6, "L", qr.MODE_ALNUM) == 195
+    assert qr.data_capacity(6, "L", qr.MODE_BYTE) == 134
+
+
+def test_qr_numeric_and_alnum_modes_roundtrip():
+    """Numeric and alphanumeric segments (ISO 8.4.2/8.4.3) roundtrip at
+    the matrix AND pixel level, with mode auto-selected from the
+    payload charset; every tail shape is hit (numeric len%3 = 0/1/2,
+    alnum odd/even), and a digits payload beyond byte capacity fits the
+    denser numeric packing in the same version family."""
+    assert qr.choose_mode(b"0042199") == qr.MODE_NUMERIC
+    assert qr.choose_mode(b"AGT-REF: 42/99.X") == qr.MODE_ALNUM
+    assert qr.choose_mode(b"agt-lower") == qr.MODE_BYTE
+    assert qr.choose_mode(b"") == qr.MODE_BYTE
+    cases = [b"1", b"12", b"123", b"1234", b"007", b"9" * 41,
+             b"A", b"AB", b"HTTPS://PORTAL.AGT.GOV.AO/R/ABC123",
+             b"$%*+-./: X", b"9" * 300]          # 300 digits > 134-B byte cap
+    for payload in cases:
+        for ecl in "LMQH":
+            if len(payload) > qr.data_capacity(6, ecl,
+                                               qr.choose_mode(payload)):
+                continue
+            m = qr.encode_qr_matrix(payload, ecl=ecl, mask=1)
+            assert qr.decode_qr_matrix(m) == payload, (payload, ecl)
+    for payload in (b"012345678901234567890", b"AGT INVOICE 2024/55: OK"):
+        blob = qr.render_qr_png(payload, ecl="M", mask=4, scale=2,
+                                border=4, rotate=3)
+        assert qr.decode_qr_pixels(_gray(blob)) == payload
+
+
+def test_qr_multisegment_stream_roundtrip():
+    """An explicit multi-segment symbol — the shape real AGT invoice
+    QRs use (alnum URL + numeric document number + byte signature) —
+    decodes to the concatenated payload through both the matrix parser
+    and the full pixel seam; a charset/mode mismatch raises ValueError
+    instead of mis-encoding."""
+    segs = [(b"HTTPS://PORTAL.AGT.GOV.AO/R/", qr.MODE_ALNUM),
+            (b"202400012345", qr.MODE_NUMERIC),
+            (b"|sig=ab", qr.MODE_BYTE)]
+    want = b"".join(p for p, _ in segs)
+    m = qr.encode_qr_matrix(segments=segs, ecl="M", mask=6)
+    assert qr.decode_qr_matrix(m) == want
+    from angola_erp_ocr_spark.functions.png import encode_png
+    img = np.pad(np.kron(np.where(m, 0, 255).astype(np.uint8),
+                         np.ones((2, 2), np.uint8)), 8,
+                 constant_values=255)
+    assert qr.decode_qr_pixels(img) == want
+    assert (qr.QR_DETECTOR_MODULE.decode(
+        PNG_IMAGE_MODULE.open(io.BytesIO(encode_png(img))))[0].data
+        == want)
+    with pytest.raises(ValueError, match="charset"):
+        qr.encode_qr_matrix(segments=[(b"abc", qr.MODE_NUMERIC)])
+    with pytest.raises(ValueError, match="charset"):
+        qr.encode_qr_matrix(b"abc", mode=qr.MODE_ALNUM)
+    with pytest.raises(ValueError, match="ASCII"):
+        qr.encode_qr_matrix(segments=[(b"\xc3\xa9", qr.MODE_ALNUM)])
+
+
+def _matrix_from_dbits(bits, version=1, ecl="L", mask=0):
+    """Build a valid-RS symbol around an arbitrary data bitstream (the
+    encoder refuses to emit malformed segments, so decoder-robustness
+    vectors are assembled from the module internals)."""
+    ec_pb, lengths = qr._block_lengths(version, ecl)
+    n_data = sum(lengths)
+    bits = bits + [0] * (n_data * 8 - len(bits))
+    data = [sum(b << (7 - i) for i, b in enumerate(bits[p:p + 8]))
+            for p in range(0, n_data * 8, 8)]
+    dblocks, pos = [], 0
+    for ln in lengths:
+        dblocks.append(data[pos:pos + ln])
+        pos += ln
+    eblocks = [qr.rs_encode(b, ec_pb) for b in dblocks]
+    codewords = qr._interleave(dblocks) + qr._interleave(eblocks)
+    size = qr._size(version)
+    fm = qr._function_map(size)
+    m = qr._base_matrix(size)
+    allbits = [(cw >> (7 - i)) & 1 for cw in codewords for i in range(8)]
+    for i, (r, c) in enumerate(qr._data_coords(size, fm)):
+        v = allbits[i] if i < len(allbits) else 0
+        m[r, c] = bool(v) ^ qr._MASKS[mask](r, c)
+    fmt = qr._format_bits(ecl, mask)
+    for coords in qr._format_coords(size):
+        for i, (r, c) in enumerate(coords):
+            m[r, c] = bool((fmt >> i) & 1)
+    return m
+
+
+def test_qr_malformed_segment_values_fail_loudly():
+    """Decoder robustness on RS-valid but semantically invalid streams
+    (a damaged-then-'corrected' symbol can land here): out-of-range
+    alnum pairs (>= 45*45), numeric groups (>= 1000), and a count field
+    overrunning the data all raise ValueError — never garbage text."""
+    put = qr._put
+    with pytest.raises(ValueError, match="alphanumeric pair"):
+        qr.decode_qr_matrix(_matrix_from_dbits(
+            put(2, 4) + put(2, 9) + put(45 * 45, 11)))
+    with pytest.raises(ValueError, match="numeric group"):
+        qr.decode_qr_matrix(_matrix_from_dbits(
+            put(1, 4) + put(3, 10) + put(1000, 10)))
+    with pytest.raises(ValueError, match="overruns"):
+        qr.decode_qr_matrix(_matrix_from_dbits(
+            put(4, 4) + put(200, 8) + put(0, 8)))
+    with pytest.raises(ValueError, match="mode"):
+        qr.decode_qr_matrix(_matrix_from_dbits(put(0b0111, 4)))  # ECI
+
+
 # ---------------------------------------------------------------------------
 # Property: arbitrary payload x ECL x mask roundtrips at the matrix level
 # (hypothesis; version auto-picked 1-6, so every block shape gets hit)
@@ -289,13 +405,25 @@ def test_real_qr_decode_through_strict_seam(spark):
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
-_ECL_CAP = {"L": 134, "M": 106, "Q": 74, "H": 58}  # V6 capacities
-
 
 @st.composite
 def _qr_case(draw):
+    """Arbitrary payloads per segment mode, capped at each mode's own
+    V6 capacity — digits/alnum draws exercise the dense packings, the
+    binary draw the byte path (and auto mode selection throughout)."""
     ecl = draw(st.sampled_from("LMQH"))
-    payload = draw(st.binary(min_size=0, max_size=_ECL_CAP[ecl]))
+    kind = draw(st.sampled_from(["bytes", "digits", "alnum"]))
+    if kind == "bytes":
+        payload = draw(st.binary(
+            min_size=0, max_size=qr.data_capacity(6, ecl)))
+    elif kind == "digits":
+        payload = draw(st.text(
+            "0123456789", min_size=1,
+            max_size=qr.data_capacity(6, ecl, qr.MODE_NUMERIC))).encode()
+    else:
+        payload = draw(st.text(
+            qr._ALNUM, min_size=1,
+            max_size=qr.data_capacity(6, ecl, qr.MODE_ALNUM))).encode()
     mask = draw(st.integers(0, 7))
     return payload, ecl, mask
 
