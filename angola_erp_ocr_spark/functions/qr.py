@@ -17,7 +17,8 @@ Scope (declared, loudly enforced — never a silent mis-decode):
   (auto-selected on encode from the payload charset, parsed as
   sequential segments on decode — real AGT portal QRs put the
   uppercase URL in an alphanumeric segment and document numbers in
-  numeric ones), EVERY ECC level — including
+  numeric ones; ECI charset designators are parsed and skipped, the
+  payload bytes returned unchanged), EVERY ECC level — including
   the multi-block combos (V3-Q/H, V4-V6: per-block Reed-Solomon over
   column-wise interleaved codewords, two-group shapes at V5-Q/H);
   payload capacity up to 134 bytes (V6-L). V7+ (version-info blocks,
@@ -666,6 +667,22 @@ def decode_qr_matrix(m: np.ndarray) -> bytes:
         mode = take(4)
         if mode == 0:
             break
+        if mode == 7:
+            # ECI (ISO 6.4.2): charset metadata ahead of a segment —
+            # phone generators commonly emit a UTF-8 designator (26)
+            # before the byte segment. The payload bytes are returned
+            # unchanged (the seam's contract is raw bytes), so the
+            # designator is parsed (1/2/3-byte forms) and skipped.
+            lead = take(8)
+            if lead >> 7 == 0b0:
+                pass
+            elif lead >> 6 == 0b10:
+                take(8)
+            elif lead >> 5 == 0b110:
+                take(16)
+            else:
+                raise ValueError("invalid ECI designator")
+            continue
         if mode not in _COUNT_BITS:
             raise ValueError(f"unsupported QR mode {mode:04b}")
         cnt = take(_COUNT_BITS[mode])

@@ -395,7 +395,30 @@ def test_qr_malformed_segment_values_fail_loudly():
         qr.decode_qr_matrix(_matrix_from_dbits(
             put(4, 4) + put(200, 8) + put(0, 8)))
     with pytest.raises(ValueError, match="mode"):
-        qr.decode_qr_matrix(_matrix_from_dbits(put(0b0111, 4)))  # ECI
+        qr.decode_qr_matrix(_matrix_from_dbits(put(0b0011, 4)))  # struct.app.
+    with pytest.raises(ValueError, match="ECI"):
+        qr.decode_qr_matrix(_matrix_from_dbits(
+            put(7, 4) + put(0b11100000, 8)))     # reserved designator form
+
+
+def test_qr_eci_prefixed_symbols_decode():
+    """Phone generators commonly prefix a UTF-8 ECI designator (26)
+    before the byte segment; the designator is charset metadata, so the
+    decoder skips it (1- and 2-byte designator forms) and returns the
+    payload bytes unchanged — instead of rejecting a symbol class
+    pyzbar handles."""
+    put = qr._put
+    payload = "Fatura nº 42 — AGT".encode("utf-8")
+    seg = qr._segment_bits(payload, qr.MODE_BYTE)
+    m = _matrix_from_dbits(put(7, 4) + put(26, 8) + seg,
+                           version=2, ecl="M", mask=3)
+    assert qr.decode_qr_matrix(m) == payload
+    # 2-byte designator form (value in 128..16383), then numeric data
+    seg2 = qr._segment_bits(b"20240042", qr.MODE_NUMERIC)
+    m2 = _matrix_from_dbits(
+        put(7, 4) + put(0b10000000, 8) + put(170, 8) + seg2,
+        version=1, ecl="M", mask=5)
+    assert qr.decode_qr_matrix(m2) == b"20240042"
 
 
 # ---------------------------------------------------------------------------
