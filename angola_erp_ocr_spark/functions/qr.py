@@ -451,8 +451,9 @@ def encode_qr_matrix(payload: bytes = b"", version: int | None = None,
             payload = payload.encode("utf-8")
         if mode is None:
             mode = choose_mode(payload)
-        elif mode != MODE_BYTE and mode != choose_mode(payload):
-            raise ValueError(f"payload charset does not fit mode {mode}")
+        # charset-vs-mode compatibility is _segment_bits' job: digits
+        # forced into MODE_ALNUM are legal (the charset admits them),
+        # lowercase forced into MODE_ALNUM raises there
         segments = [(payload, mode)]
     seg: list[int] = []
     for p, md in segments:

@@ -348,6 +348,12 @@ def test_qr_multisegment_stream_roundtrip():
         qr.encode_qr_matrix(b"abc", mode=qr.MODE_ALNUM)
     with pytest.raises(ValueError, match="ASCII"):
         qr.encode_qr_matrix(segments=[(b"\xc3\xa9", qr.MODE_ALNUM)])
+    # forcing a LESS dense but charset-compatible mode is spec-legal:
+    # digits are inside the alnum charset (and any bytes inside byte)
+    m = qr.encode_qr_matrix(b"123", mode=qr.MODE_ALNUM)
+    assert qr.decode_qr_matrix(m) == b"123"
+    m = qr.encode_qr_matrix(b"123", mode=qr.MODE_BYTE)
+    assert qr.decode_qr_matrix(m) == b"123"
 
 
 def _matrix_from_dbits(bits, version=1, ecl="L", mask=0):
